@@ -1,0 +1,472 @@
+"""Minimal-subset PDF builder and content-stream tokenizer.
+
+Replaces the reference's rasterize-then-GPT-Vision stage
+(``work_order_extractor.py:1121-1146`` pdf2image/PyMuPDF render,
+``:1588-1688`` OpenAI call) with a deterministic, pure-Python parser: the
+payload's text is recovered directly from the PDF content stream
+(``BT/Tf/Td/TD/Tm/Tj/TJ/ET`` operators) with positions, and the reference's
+pixel crop (``crop_image``, ``work_order_extractor.py:1378-1388``; default
+top-left quarter ``:65-68``) becomes a bounding-box predicate over token
+coordinates.
+
+The subset of PDF this module EMITS is exactly the subset it PARSES
+(documented per function). Streams are uncompressed or FlateDecode only.
+Everything is deterministic; parse failures raise :class:`PdfParseError`
+which the pipeline converts into ``status='extraction_failed'`` rows
+(mirroring the reference's null-result fallback ``:1677``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# Fixed average glyph-width factor used for bbox estimation (both the builder's
+# layout intuition and the parser's bbox math use it — a single constant so
+# region-containment is self-consistent).
+CHAR_WIDTH_FACTOR = 0.5
+
+# The reference's default crop box, as (x1, y1, x2, y2) fractions of the page
+# in IMAGE space (origin top-left): work_order_extractor.py:65-68.
+DEFAULT_CROP = (0.0, 0.0, 0.5, 0.5)
+
+
+class PdfParseError(ValueError):
+    """Raised when a payload is not a parseable member of the emitted subset."""
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    ).encode("latin-1", errors="replace")
+
+
+def build_content_stream(ops: list[tuple]) -> bytes:
+    """Serialize page text ops into one content stream.
+
+    Ops (the only forms emitted, hence the only forms the parser must honor
+    beyond robustness):
+
+    - ``("text", x, y, size, s)``     → ``1 0 0 1 x y Tm (s) Tj``
+    - ``("textTJ", x, y, size, parts)`` → ``... Tm [ ... ] TJ`` with str/int parts
+    - ``("textTd", dx, dy, size, s)`` → ``dx dy Td (s) Tj`` (relative move)
+    """
+    out: list[bytes] = [b"BT"]
+    cur_size: float | None = None
+    for op in ops:
+        kind = op[0]
+        size = op[3]
+        if size != cur_size:
+            out.append(b"/F1 %g Tf" % size)
+            cur_size = size
+        if kind == "text":
+            _, x, y, _, s = op
+            out.append(b"1 0 0 1 %g %g Tm" % (x, y))
+            out.append(b"(" + _esc(s) + b") Tj")
+        elif kind == "textTJ":
+            _, x, y, _, parts = op
+            out.append(b"1 0 0 1 %g %g Tm" % (x, y))
+            arr = b" ".join(
+                (b"(" + _esc(p) + b")") if isinstance(p, str) else (b"%d" % p)
+                for p in parts
+            )
+            out.append(b"[" + arr + b"] TJ")
+        elif kind == "textTd":
+            _, dx, dy, _, s = op
+            out.append(b"%g %g Td" % (dx, dy))
+            out.append(b"(" + _esc(s) + b") Tj")
+        else:  # pragma: no cover - builder misuse
+            raise ValueError(f"unknown op kind {kind!r}")
+    out.append(b"ET")
+    return b"\n".join(out)
+
+
+def build_pdf(
+    pages: list[list[tuple]],
+    page_size: tuple[float, float] = (612.0, 792.0),
+    compress: bool = False,
+) -> bytes:
+    """Construct a complete single-xref PDF with one content stream per page.
+
+    Object layout: 1=Catalog, 2=Pages, then per page i: (3+2i)=Page,
+    (4+2i)=Contents stream; last object = Font. Cross-reference table and
+    trailer are emitted correctly so any conforming reader accepts the file.
+    """
+    w, h = page_size
+    n_pages = len(pages)
+    objs: dict[int, bytes] = {}
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, ops in enumerate(pages):
+        page_num = 3 + 2 * i
+        cont_num = 4 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] "
+            f"/Contents {cont_num} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode()
+        stream = build_content_stream(ops)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        objs[cont_num] = (
+            b"<< /Length %d%s >>\nstream\n" % (len(stream), filt)
+            + stream
+            + b"\nendstream"
+        )
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num
+        buf += objs[num]
+        buf += b"\nendobj\n"
+    xref_off = len(buf)
+    n = max(objs) + 1
+    buf += b"xref\n0 %d\n" % n
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        n,
+        xref_off,
+    )
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b", re.S)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _split_objects(data: bytes) -> dict[int, bytes]:
+    """Locate ``N 0 obj ... endobj`` bodies by scanning (xref-independent,
+    robust to files whose xref is damaged — stream extraction still uses
+    /Length, so truncation is detected)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        start = m.end()
+        end = data.find(b"endobj", start)
+        if end == -1:
+            raise PdfParseError(f"object {num} missing endobj")
+        objs[num] = data[start:end]
+    return objs
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    lm = _LENGTH_RE.search(body)
+    if lm is None:
+        raise PdfParseError("content object has no /Length")
+    length = int(lm.group(1))
+    sidx = body.find(b"stream")
+    if sidx == -1:
+        raise PdfParseError("content object has no stream")
+    p = sidx + len(b"stream")
+    if body[p : p + 2] == b"\r\n":
+        p += 2
+    elif body[p : p + 1] == b"\n":
+        p += 1
+    raw = body[p : p + length]
+    if len(raw) < length:
+        raise PdfParseError("truncated content stream")
+    if b"/FlateDecode" in body[:sidx]:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise PdfParseError(f"bad Flate stream: {e}") from e
+    return raw
+
+
+def _lex_content(stream: bytes):
+    """Yield tokens: ('num', float) | ('str', str) | ('name', str) |
+    ('arr', list) | ('op', str)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"%":  # comment to EOL
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c == b"(":
+            s, i = _lex_string(stream, i)
+            yield ("str", s)
+        elif c == b"/":
+            j = i + 1
+            while j < n and stream[j : j + 1] not in b" \t\r\n()[]<>/%":
+                j += 1
+            yield ("name", stream[i + 1 : j].decode("latin-1"))
+            i = j
+        elif c == b"[":
+            arr: list = []
+            i += 1
+            for tok in _lex_content_array(stream, i):
+                if tok[0] == "end":
+                    i = tok[1]
+                    break
+                arr.append(tok)
+            yield ("arr", arr)
+        elif c == b"]":
+            raise PdfParseError("unbalanced ] in content stream")
+        elif (c.isdigit() or c in b"+-."):
+            j = i + 1
+            while j < n and (stream[j : j + 1].isdigit() or stream[j : j + 1] in b"+-.eE"):
+                j += 1
+            try:
+                yield ("num", float(stream[i:j]))
+            except ValueError as e:
+                raise PdfParseError(f"bad number {stream[i:j]!r}") from e
+            i = j
+        else:
+            j = i
+            while j < n and (stream[j : j + 1].isalpha() or stream[j : j + 1] in b"*'\""):
+                j += 1
+            if j == i:
+                raise PdfParseError(f"unexpected byte {c!r} in content stream")
+            yield ("op", stream[i:j].decode("latin-1"))
+            i = j
+
+
+def _lex_content_array(stream: bytes, i: int):
+    """Lex inside ``[ ... ]`` (strings and numbers only in our subset)."""
+    n = len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"]":
+            yield ("end", i + 1)
+            return
+        elif c == b"(":
+            s, i = _lex_string(stream, i)
+            yield ("str", s)
+        elif c.isdigit() or c in b"+-.":
+            j = i + 1
+            while j < n and (stream[j : j + 1].isdigit() or stream[j : j + 1] in b"+-."):
+                j += 1
+            yield ("num", float(stream[i:j]))
+            i = j
+        else:
+            raise PdfParseError(f"unexpected byte {c!r} in TJ array")
+    raise PdfParseError("unterminated array in content stream")
+
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _lex_string(stream: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at ``(``; supports nesting,
+    backslash escapes, and octal escapes."""
+    assert stream[i : i + 1] == b"("
+    i += 1
+    depth = 1
+    out: list[str] = []
+    n = len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"\\":
+            nxt = stream[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and stream[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(stream[i + 1 : j], 8)))
+                i = j
+            else:
+                i += 2  # lone backslash: drop (PDF spec)
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    raise PdfParseError("unterminated string in content stream")
+
+
+def tokenize_content(stream: bytes, page_h: float) -> list[tuple[str, float, float, float, float]]:
+    """Interpret a content stream's text operators into positioned tokens.
+
+    Tracks ``Tf`` (font size), ``Tm`` (absolute line matrix, translation
+    part), ``Td``/``TD`` (relative line moves), ``Tj`` (show string) and
+    ``TJ`` (show array with kerning). Returns
+    ``(text, x0, y0, x1, y1)`` tuples in PDF user space. The bbox is
+    estimated with :data:`CHAR_WIDTH_FACTOR` — positions come from the
+    stream, widths from the fixed factor, so results are deterministic.
+    """
+    tokens: list[tuple[str, float, float, float, float]] = []
+    stack: list = []
+    size = 12.0
+    lx = ly = 0.0   # text line origin
+    cx = 0.0        # current x within line
+    in_text = False
+
+    def emit(s: str, x: float, y: float) -> float:
+        w = CHAR_WIDTH_FACTOR * size * len(s)
+        if s:
+            tokens.append((s, x, y, x + w, y + size))
+        return w
+
+    for tok in _lex_content(stream):
+        kind = tok[0]
+        if kind in ("num", "str", "arr", "name"):
+            stack.append(tok)
+            continue
+        op = tok[1]
+        if op == "BT":
+            in_text = True
+            lx = ly = cx = 0.0
+            stack.clear()
+        elif op == "ET":
+            in_text = False
+            stack.clear()
+        elif op == "Tf":
+            if stack and stack[-1][0] == "num":
+                size = float(stack[-1][1])
+            stack.clear()
+        elif op == "Tm":
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                lx, ly = float(stack[-2][1]), float(stack[-1][1])
+                cx = 0.0
+            stack.clear()
+        elif op in ("Td", "TD"):
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                lx += float(stack[-2][1])
+                ly += float(stack[-1][1])
+                cx = 0.0
+            stack.clear()
+        elif op == "T*":
+            ly -= size * 1.2
+            cx = 0.0
+            stack.clear()
+        elif op == "Tj":
+            if in_text and stack and stack[-1][0] == "str":
+                cx += emit(stack[-1][1], lx + cx, ly)
+            stack.clear()
+        elif op == "TJ":
+            if in_text and stack and stack[-1][0] == "arr":
+                parts = stack[-1][1]
+                buf: list[str] = []
+                start_x = lx + cx
+                for p in parts:
+                    if p[0] == "str":
+                        buf.append(p[1])
+                        cx += CHAR_WIDTH_FACTOR * size * len(p[1])
+                    else:  # kerning adjustment, thousandths of text space
+                        cx -= float(p[1]) / 1000.0 * size
+                s = "".join(buf)
+                if s:
+                    tokens.append(
+                        (s, start_x, ly, start_x + CHAR_WIDTH_FACTOR * size * len(s), ly + size)
+                    )
+            stack.clear()
+        else:
+            # Unknown operator: per PDF semantics, consume operands and move on.
+            stack.clear()
+    return tokens
+
+
+def parse_pdf(data: bytes) -> list[dict]:
+    """Parse a PDF of the emitted subset into pages of positioned tokens.
+
+    Returns ``[{"width": w, "height": h, "tokens": [(text,x0,y0,x1,y1),...]}]``
+    in document page order (the /Kids array order). Raises
+    :class:`PdfParseError` for anything outside the subset or truncated.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("missing %PDF header")
+    objs = _split_objects(data)
+    # Find the Pages node (has /Kids); fall back to scanning for /Type /Page.
+    page_nums: list[int] = []
+    for body in objs.values():
+        if b"/Type /Pages" in body or b"/Type/Pages" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+            break
+    if not page_nums:
+        page_nums = sorted(
+            n for n, b in objs.items()
+            if (b"/Type /Page" in b or b"/Type/Page" in b)
+            and b"/Type /Pages" not in b and b"/Type/Pages" not in b
+        )
+    if not page_nums:
+        raise PdfParseError("no pages found")
+    pages: list[dict] = []
+    for pn in page_nums:
+        body = objs.get(pn)
+        if body is None:
+            raise PdfParseError(f"missing page object {pn}")
+        mb = _MEDIABOX_RE.search(body)
+        w, h = (float(mb.group(3)), float(mb.group(4))) if mb else (612.0, 792.0)
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            pages.append({"width": w, "height": h, "tokens": []})
+            continue
+        cont = objs.get(int(cm.group(1)))
+        if cont is None:
+            raise PdfParseError(f"missing contents object {cm.group(1)!r}")
+        stream = _stream_bytes(cont)
+        pages.append({"width": w, "height": h, "tokens": tokenize_content(stream, h)})
+    return pages
+
+
+def tokens_in_region(
+    tokens: list[tuple[str, float, float, float, float]],
+    width: float,
+    height: float,
+    crop: tuple[float, float, float, float] = DEFAULT_CROP,
+) -> list[tuple[str, float, float, float, float]]:
+    """Spatial predicate: keep tokens fully inside the crop box.
+
+    ``crop`` is ``(x1, y1, x2, y2)`` fractions in IMAGE space (origin
+    top-left, like the reference's crop UI, ``work_order_extractor.py:
+    1287-1291``); PDF user space has origin bottom-left, so y flips:
+    a token spanning PDF ys ``[y0, y1]`` occupies image ys
+    ``[height - y1, height - y0]``.
+    """
+    fx1, fy1, fx2, fy2 = crop
+    ax1, ay1, ax2, ay2 = fx1 * width, fy1 * height, fx2 * width, fy2 * height
+    out = []
+    for t in tokens:
+        _, x0, y0, x1, y1 = t
+        img_top = height - y1
+        img_bot = height - y0
+        if x0 >= ax1 and x1 <= ax2 and img_top >= ay1 and img_bot <= ay2:
+            out.append(t)
+    return out

@@ -1,0 +1,92 @@
+"""Canonical text-assembly rules.
+
+The reference compares extracted values as normalized strings
+(``work_order_extractor.py:1752-1767``: try ``str(wo)``, then
+``str(int(wo))``). The north rule requires per-turn TEXT equality, so the
+joining/whitespace rules are defined exactly once here and imported by both
+the oracle and the Spark UDFs — they cannot diverge.
+"""
+
+from __future__ import annotations
+
+# Tokens whose baselines differ by less than this many PDF units are treated
+# as the same text line (rasterized text rarely aligns exactly).
+LINE_Y_TOLERANCE = 2.0
+
+
+def assemble_lines(tokens: list[tuple[str, float, float, float, float]]) -> list[dict]:
+    """Group positioned text tokens into reading-order lines.
+
+    ``tokens`` is a list of ``(text, x0, y0, x1, y1)`` in PDF user space
+    (y grows upward). Returns a list of line dicts sorted top-to-bottom,
+    each with the canonical single-space-joined text and the union bbox::
+
+        {"text": str, "x0": f, "y0": f, "x1": f, "y1": f}
+
+    Rules (fixed forever — per-turn equality depends on them):
+      * tokens sort by (-y0 bucketed to LINE_Y_TOLERANCE, x0, text)
+      * tokens on one line join with exactly one ASCII space
+      * empty-text tokens are dropped
+    """
+    toks = [t for t in tokens if t[0] != ""]
+    if not toks:
+        return []
+    # Bucket y so near-equal baselines land on one line, then sort.
+    keyed = sorted(
+        toks, key=lambda t: (-round(t[2] / LINE_Y_TOLERANCE), t[1], t[0])
+    )
+    lines: list[dict] = []
+    cur: list[tuple[str, float, float, float, float]] = []
+    cur_bucket: int | None = None
+    for t in keyed:
+        bucket = -round(t[2] / LINE_Y_TOLERANCE)
+        if cur_bucket is None or bucket == cur_bucket:
+            cur.append(t)
+            cur_bucket = bucket
+        else:
+            lines.append(_close_line(cur))
+            cur = [t]
+            cur_bucket = bucket
+    lines.append(_close_line(cur))
+    return lines
+
+
+def _close_line(toks: list[tuple[str, float, float, float, float]]) -> dict:
+    return {
+        "text": " ".join(t[0] for t in toks),
+        "x0": min(t[1] for t in toks),
+        "y0": min(t[2] for t in toks),
+        "x1": max(t[3] for t in toks),
+        "y1": max(t[4] for t in toks),
+    }
+
+
+def join_lines(lines: list[dict]) -> str:
+    """Canonical document text: lines joined with '\\n', no trailing newline."""
+    return "\n".join(ln["text"] for ln in lines)
+
+
+def normalize_plain_text(text: str) -> str:
+    """Canonical form of a plain-text payload: strip outer whitespace only.
+
+    Mirrors the reference's ``response_text.strip()``
+    (``work_order_extractor.py:1663``).
+    """
+    return text.strip()
+
+
+def normalize_key(value: str | None) -> str | None:
+    """Normalize an extracted key the way the reference's dual probe does.
+
+    The reference tries ``str(wo)`` then ``str(int(wo))`` against its set
+    (``work_order_extractor.py:1752-1767``). Equivalent single normalization:
+    strip whitespace; if all digits, drop leading zeros (but keep one digit).
+    """
+    if value is None:
+        return None
+    v = value.strip()
+    if not v:
+        return None
+    if v.isdigit():
+        return str(int(v))
+    return v

@@ -1,0 +1,63 @@
+"""Single-process pandas oracle (M0): produces golden outputs.
+
+Runs the SAME pure extraction core (``core.extractor.extract_turn``) that
+the Spark pandas UDFs run, but in one thread over a pandas frame —
+reference-faithful semantics (markdown-fence stripping, null-on-failure,
+str/int key normalization, NoEquip naming; ``work_order_extractor.py:
+1663-1677, 1752-1774``) with none of the distribution machinery. The test
+suite full-outer-joins Spark output against these goldens on
+``(conv_id, turn_idx)`` and asserts per-turn text equality (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .core import fields as field_rules
+from .core.extractor import extract_turn
+from .core.textnorm import normalize_key
+
+GOLDEN_COLUMNS = [
+    "conv_id", "turn_idx", "extracted_text", "spans", "work_order_number",
+    "equipment_number", "customer", "order_date", "matched", "status",
+]
+
+
+def extract_goldens(
+    transcripts: pd.DataFrame, reference_orders: set[str] | pd.DataFrame
+) -> pd.DataFrame:
+    """One golden row per input turn, ordered by (conv_id, turn_idx)."""
+    if isinstance(reference_orders, pd.DataFrame):
+        ref_set = {normalize_key(str(v)) for v in reference_orders["Order"]}
+    else:
+        ref_set = {normalize_key(v) for v in reference_orders}
+
+    out_rows = []
+    for row in transcripts.itertuples(index=False):
+        res = extract_turn(row.text, row.tool)
+        wo_norm = normalize_key(res["work_order_number"])
+        out_rows.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": row.turn_idx,
+                "extracted_text": res["extracted_text"],
+                "spans": res["spans"],
+                "work_order_number": res["work_order_number"],
+                "equipment_number": res["equipment_number"],
+                "customer": res["customer"],
+                "order_date": res["order_date"],
+                "matched": wo_norm is not None and wo_norm in ref_set,
+                "status": res["status"],
+            }
+        )
+    golden = pd.DataFrame(out_rows, columns=GOLDEN_COLUMNS)
+    golden["turn_idx"] = golden["turn_idx"].astype("int32")
+    return golden.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+def output_names(golden: pd.DataFrame) -> pd.Series:
+    """Derived disposition names: ``CS-{wo}-{equip|NoEquip}.pdf``."""
+    return golden.apply(
+        lambda r: field_rules.output_name(r.work_order_number, r.equipment_number),
+        axis=1,
+    )
