@@ -1,0 +1,109 @@
+"""The north-rule correctness gate: per-turn text equality vs goldens via a
+full-outer-join comparison on (conv_id, turn_idx) (SURVEY §5 item 1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from work_order_pdf_extractor_spark.plans import pipeline
+
+COMPARE_COLS = [
+    "extracted_text", "work_order_number", "equipment_number", "customer",
+    "status",
+]
+
+
+@pytest.fixture(scope="module")
+def result_pd(transcripts_df, ref_orders_df):
+    res = pipeline.run_pipeline(transcripts_df, ref_orders_df)
+    return res.toPandas()
+
+
+def _join(golden_pd: pd.DataFrame, result_pd: pd.DataFrame) -> pd.DataFrame:
+    return golden_pd.merge(
+        result_pd, on=["conv_id", "turn_idx"], how="outer",
+        suffixes=("_g", "_s"), indicator=True,
+    )
+
+
+def test_row_coverage_exact(golden_pd, result_pd):
+    j = _join(golden_pd, result_pd)
+    assert (j["_merge"] == "both").all(), "rows missing or invented by Spark"
+    assert len(j) == len(golden_pd)
+
+
+def test_per_turn_text_equality(golden_pd, result_pd):
+    j = _join(golden_pd, result_pd)
+    mism = j[j["extracted_text_g"].fillna("\0") != j["extracted_text_s"].fillna("\0")]
+    assert len(mism) == 0, mism[["conv_id", "turn_idx"]].head()
+
+
+@pytest.mark.parametrize("col", ["work_order_number", "equipment_number", "customer", "status"])
+def test_field_equality(golden_pd, result_pd, col):
+    j = _join(golden_pd, result_pd)
+    assert (j[f"{col}_g"].fillna("\0") == j[f"{col}_s"].fillna("\0")).all()
+
+
+def test_matched_and_date_equality(golden_pd, result_pd):
+    j = _join(golden_pd, result_pd)
+    assert (j["matched_g"] == j["matched_s"]).all()
+    assert (j["order_date_g"].astype(str) == j["order_date_s"].astype(str)).all()
+
+
+def test_spans_equality(golden_pd, result_pd):
+    g = golden_pd.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    s = result_pd.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    for gs, ss in zip(g["spans"], s["spans"]):
+        got = [
+            (d["field"], d["start"], d["end"], d["x0"], d["y0"], d["x1"], d["y1"])
+            for d in gs
+        ]
+        exp = [tuple(row) for row in ss]
+        assert got == exp
+
+
+def test_out_name_noequip_rule(result_pd):
+    has_wo = result_pd[result_pd.work_order_number.notna()]
+    assert (
+        has_wo.apply(
+            lambda r: r.out_name
+            == f"CS-{r.work_order_number}-{r.equipment_number or 'NoEquip'}.pdf",
+            axis=1,
+        )
+    ).all()
+    assert result_pd[result_pd.work_order_number.isna()].out_name.isna().all()
+
+
+def test_observe_metrics_match_oracle(transcripts_df, ref_orders_df, golden_pd):
+    obs = Observation("m")
+    res = pipeline.run_pipeline(transcripts_df, ref_orders_df, observation=obs)
+    res.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["files_processed"] == len(golden_pd)
+    assert m["failed"] == int((golden_pd.status != "ok").sum())
+    assert m["matched"] == int(golden_pd.matched.sum())
+
+
+def test_salting_does_not_change_results(transcripts_df, ref_orders_df, golden_pd):
+    res = pipeline.run_pipeline(
+        transcripts_df, ref_orders_df, salt=False
+    ).toPandas()
+    j = _join(golden_pd, res)
+    assert (j["_merge"] == "both").all()
+    assert (
+        j["extracted_text_g"].fillna("\0") == j["extracted_text_s"].fillna("\0")
+    ).all()
+
+
+def test_shuffled_input_same_output(spark, tiny_transcripts_pd, ref_orders_df, golden_pd):
+    reshuffled = tiny_transcripts_pd.sample(frac=1.0, random_state=7, ignore_index=True)
+    df = spark.createDataFrame(reshuffled).repartition(13)
+    res = pipeline.run_pipeline(df, ref_orders_df).toPandas()
+    j = _join(golden_pd, res)
+    assert (j["_merge"] == "both").all()
+    assert (
+        j["extracted_text_g"].fillna("\0") == j["extracted_text_s"].fillna("\0")
+    ).all()

@@ -1,0 +1,125 @@
+"""The flagship end-to-end job (SURVEY §3.1 mapped to one DataFrame plan).
+
+Reference trace being re-expressed::
+
+    scan folder → rasterize p.1 → crop → GPT extract → normalize key →
+    probe in-memory set → rename/move file → running counters
+    (work_order_extractor.py:1842-1946)
+
+Spark plan::
+
+    read transcripts → salted repartition(conv_id) → mapInPandas extraction
+    (payload column dropped inside the pass) → JVM-side key normalization →
+    ONE broadcast LEFT join vs reference orders (both dispositions from a
+    single probe, like the reference's single set lookup :1752-1767) →
+    disposition/out_name columns (rename/move become data, :1769-1797) →
+    observe() metrics (the reference's session_stats :1887-1916)
+
+Scale notes: the only shuffles are the salted repartition (explicit,
+skew-proofed) and nothing else — the join is broadcast (build side ≈ 900
+keys ≪ 10 MB threshold) and metrics ride on ``observe`` (no extra pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..core.pdfparse import DEFAULT_CROP
+from ..operators.extract import extract_turns
+from . import skew
+
+
+def normalize_key_col(col: F.Column) -> F.Column:
+    """JVM-side equivalent of ``core.textnorm.normalize_key`` — the
+    reference's dual str/int probe (``work_order_extractor.py:1752-1767``)
+    as one expression BEFORE the join (no dual probes needed)."""
+    t = F.trim(col)
+    return F.when(t == "", None).when(
+        t.rlike("^[0-9]+$"), t.cast("long").cast("string")
+    ).otherwise(t)
+
+
+def prepare_reference_orders(ref_df: DataFrame) -> DataFrame:
+    """Build side: normalize + distinct (the reference's CSV→set,
+    ``work_order_extractor.py:976-996``)."""
+    return (
+        ref_df.select(normalize_key_col(F.col("Order")).alias("ref_order"))
+        .where(F.col("ref_order").isNotNull())
+        .distinct()
+    )
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    reference_orders: DataFrame,
+    crop: tuple = DEFAULT_CROP,
+    n_partitions: int | None = None,
+    salt: bool = True,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """transcripts × reference_orders → per-turn extraction results.
+
+    Output schema: ``(conv_id, turn_idx, role, tool, ts, extracted_text,
+    spans, work_order_number, equipment_number, customer, order_date,
+    status, matched, disposition, out_name)`` — one row per input turn.
+    """
+    t = (
+        skew.repartition_salted(transcripts, n_partitions)
+        if salt
+        else (transcripts.repartition(n_partitions, "conv_id") if n_partitions else transcripts)
+    )
+    extracted = extract_turns(t, crop)
+    extracted = extracted.withColumn(
+        "wo_norm", normalize_key_col(F.col("work_order_number"))
+    )
+
+    ref = prepare_reference_orders(reference_orders)
+    joined = extracted.join(
+        F.broadcast(ref), extracted.wo_norm == ref.ref_order, "left"
+    )
+
+    result = (
+        joined.withColumn("matched", F.col("ref_order").isNotNull())
+        .withColumn(
+            "disposition",
+            F.when(F.col("matched"), F.lit("matched")).otherwise(F.lit("not_matched")),
+        )
+        .withColumn(
+            "out_name",
+            F.when(
+                F.col("work_order_number").isNotNull(),
+                F.format_string(
+                    "CS-%s-%s.pdf",
+                    F.col("work_order_number"),
+                    F.coalesce(F.col("equipment_number"), F.lit("NoEquip")),
+                ),
+            ),
+        )
+        .drop("wo_norm", "ref_order")
+    )
+
+    if observation is not None:
+        # the reference's running counters (success/failed/matched/…,
+        # work_order_extractor.py:103-114, 1887-1916) as a zero-cost
+        # observe() on the same pass — no second job.
+        result = result.observe(
+            observation,
+            F.count(F.lit(1)).alias("files_processed"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("successful"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
+            F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias("matched"),
+            F.sum(F.when(~F.col("matched"), 1).otherwise(0)).alias("not_matched"),
+        )
+    return result
+
+
+def write_partitioned(result: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """Disposition sink: the reference renames/moves files
+    (``work_order_extractor.py:1769-1797``); here disposition is a partition
+    column of an append-only table — idempotent, atomic per partition."""
+    (
+        result.write.mode(mode)
+        .partitionBy("disposition")
+        .parquet(out_dir)
+    )
