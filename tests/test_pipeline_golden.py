@@ -61,7 +61,14 @@ def test_spans_equality(golden_pd, result_pd):
             (d["field"], d["start"], d["end"], d["x0"], d["y0"], d["x1"], d["y1"])
             for d in gs
         ]
-        exp = [tuple(row) for row in ss]
+        exp = [
+            (
+                (d["field"], d["start"], d["end"], d["x0"], d["y0"], d["x1"], d["y1"])
+                if isinstance(d, dict)
+                else tuple(d)
+            )
+            for d in ss
+        ]
         assert got == exp
 
 
