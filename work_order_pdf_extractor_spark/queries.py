@@ -1,0 +1,1328 @@
+"""Operator-query harness (SURVEY §2 inventory → driver contract M6).
+
+``REGISTRY`` maps query name → ``(spark_fn, oracle_sql | None)``. Each
+``spark_fn(spark, sf_dir)`` returns a DataFrame; the SQL string is the
+DuckDB-equivalent over the same parquet tables. Column names are aliased
+identically on both sides (the driver's compare sorts columns by name and
+hashes values).
+
+Determinism rules used throughout (so value hashes match across engines):
+
+- double SUMs go through ``DECIMAL(18,4)`` (exact association-free
+  addition) and are cast back to DOUBLE — both engines produce the
+  identical IEEE double;
+- averages divide two already-identical numbers and round ≥4 digits;
+- every ORDER BY ... LIMIT has a total tiebreak key;
+- shared hashing uses md5-hex → int (identical in both engines), never
+  engine-native ``hash()``.
+
+Operator citations refer to SURVEY.md §2 ids (S/P/J/A/W/F classes) which in
+turn cite the reference ``work_order_extractor.py`` lines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared SQL fragments -------------------------------------------------
+
+def _dsum(col: str) -> str:
+    """DuckDB exact-sum-of-doubles pattern."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _spark_dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+# ===========================================================================
+# Aggregations (A1-A6) + filters/projections (P1-P6)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A3 analog at TPC-H Q1 shape: grouped running counters + cost math
+    (reference session_stats :1887-1916, calculate_cost :815-835)."""
+    li = ld(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= "1997-09-01")
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _spark_dsum(F.col("l_quantity")).alias("sum_qty"),
+            _spark_dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _spark_dsum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                ).cast("double").cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       ROUND({_dsum('l_quantity')} / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark, sf_dir):
+    """P1/P6 + F5: predicate pushdown + projection + row arithmetic
+    (extension filter :1451; cost arithmetic :823-828)."""
+    li = ld(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-02-01")
+            & (F.col("l_discount") >= 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice*(1-l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+  AND l_discount >= 0.05
+"""
+
+
+def q_case_quality_flags(spark, sf_dir):
+    """P4: min-size validity predicate as CASE quality buckets (:1713-1719)."""
+    li = ld(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "quality",
+            F.when(F.col("l_quantity") < 10, "too_small")
+            .when(F.col("l_quantity") < 30, "ok")
+            .otherwise("large"),
+        )
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CASE_QUALITY = """
+SELECT CASE WHEN l_quantity < 10 THEN 'too_small'
+            WHEN l_quantity < 30 THEN 'ok' ELSE 'large' END AS quality,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_null_guard_coalesce(spark, sf_dir):
+    """P5: null-guard projection (defensive dict check :1724-1730) —
+    missing JSON key → null → coalesce default."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("guarded"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("absent")).alias(
+            "k_str"
+        ),
+    )
+
+
+SQL_NULL_GUARD = """
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.missing'), 'absent') AS guarded,
+       COALESCE(json_extract_string(props, '$.k'), 'absent') AS k_str
+FROM events
+"""
+
+
+def q_status_counters(spark, sf_dir):
+    """A1: success/failed counters by status column (:103-114, :1887-1916)."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_failed"
+        ),
+    )
+
+
+SQL_STATUS_COUNTERS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+FROM events GROUP BY event_type
+"""
+
+
+def q_cost_sums(spark, sf_dir):
+    """A2/A3: token/cost running sums with THB conversion ×33
+    (track_api_usage :837-855, rate :95)."""
+    ev = ld(spark, sf_dir, "events")
+    usd = F.col("value") / 1e6 * 0.10
+    return ev.groupBy("event_type").agg(
+        _spark_dsum(usd.cast("decimal(18,4)").cast("double")).alias("cost_usd"),
+        F.round(
+            _spark_dsum(usd.cast("decimal(18,4)").cast("double")) * 33.0, 6
+        ).alias("cost_thb"),
+    )
+
+
+SQL_COST_SUMS = """
+SELECT event_type,
+       CAST(SUM(CAST(CAST(CAST(value/1e6*0.10 AS DECIMAL(18,4)) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS cost_usd,
+       ROUND(CAST(SUM(CAST(CAST(CAST(value/1e6*0.10 AS DECIMAL(18,4)) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) * 33.0, 6) AS cost_thb
+FROM events GROUP BY event_type
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    """A5: distinct keys (the reference set :977,988)."""
+    li = ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_groupby_having(spark, sf_dir):
+    """A1 variant with HAVING filter over grouped counters."""
+    ev = ld(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 25)
+    )
+
+
+SQL_GROUPBY_HAVING = """
+SELECT user_id, COUNT(*) AS n_events FROM events
+GROUP BY user_id HAVING COUNT(*) >= 25
+"""
+
+
+def q_progress_fraction(spark, sf_dir):
+    """A6: processed/total fraction (:1919-1921)."""
+    ev = ld(spark, sf_dir, "events")
+    total = ev.select(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(total)
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("fraction"),
+        )
+    )
+
+
+SQL_PROGRESS_FRACTION = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM events), 6) AS fraction
+FROM events GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Joins (J1-J3 + verification join)
+# ===========================================================================
+
+def q_semi_join(spark, sf_dir):
+    """J1: broadcast hash semi-join membership (set probe :1752-1767,
+    build side :976-996)."""
+    orders = ld(spark, sf_dir, "orders")
+    cust = ld(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J2: anti-join complement (not_match routing :1786-1797)."""
+    cust = ld(spark, sf_dir, "customer")
+    orders = ld(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_outer_disposition(spark, sf_dir):
+    """J1+J2 in ONE pass: outer join → disposition column, mirroring the
+    reference's single probe feeding both branches (:1769-1797) and the
+    pipeline's matched/not_matched design."""
+    orders = ld(spark, sf_dir, "orders")
+    rich = ld(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    j = orders.join(
+        F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left"
+    )
+    return (
+        j.withColumn(
+            "disposition",
+            F.when(F.col("c_custkey").isNotNull(), "matched").otherwise(
+                "not_matched"
+            ),
+        )
+        .groupBy("disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+SQL_OUTER_DISPOSITION = f"""
+SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 'matched' ELSE 'not_matched' END AS disposition,
+       COUNT(*) AS n,
+       {_dsum('o_totalprice')} AS sum_price
+FROM orders o LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+  ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_dim_chain_join(spark, sf_dir):
+    """J3: tiny-dim lookup chain customer→nation→region (pricing lookup
+    :817-820 as broadcast joins)."""
+    cust = ld(spark, sf_dir, "customer")
+    nation = ld(spark, sf_dir, "nation")
+    region = ld(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _spark_dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_DIM_CHAIN = f"""
+SELECT r_name, COUNT(*) AS n_customers, {_dsum('c_acctbal')} AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_golden_verify_join(spark, sf_dir):
+    """The golden-equality verification join (SURVEY §2.3): FULL OUTER on
+    the key, emitting per-key agreement flags — the shape the test suite
+    uses for per-turn equality."""
+    orders = ld(spark, sf_dir, "orders")
+    cust = ld(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNotNull().alias("in_customer"),
+        (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()).alias(
+            "sides_agree"
+        ),
+    )
+
+
+SQL_GOLDEN_VERIFY = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       c.c_custkey IS NOT NULL AS in_customer,
+       (c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL) AS sides_agree
+FROM customer c FULL OUTER JOIN
+     (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+# ===========================================================================
+# Windows / ordering / limits (W1-W4)
+# ===========================================================================
+
+def q_first_per_user(spark, sf_dir):
+    """W1: first-page-per-document analog — first event per user (:1125)."""
+    ev = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_FIRST_PER_USER = """
+SELECT user_id, event_id, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_turn_order_window(spark, sf_dir):
+    """W2: stable intra-group ordering — the north rule's
+    (conv_id, turn_idx) window on the events analog (:1415-1428)."""
+    ev = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("turn_order")
+    )
+
+
+SQL_TURN_ORDER = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_order
+FROM events
+"""
+
+
+def q_lag_gap(spark, sf_dir):
+    """Analytic lag: inter-event gap seconds per user (throughput/ETA math
+    :1927-1933 needs exactly this delta)."""
+    ev = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(sec - F.lag(sec).over(w), 6).alias("gap_sec"),
+    )
+
+
+SQL_LAG_GAP = """
+SELECT user_id, event_id,
+       ROUND(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_sec
+FROM events
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """Running totals (the reference's cumulative counters :842-846) as a
+    window frame ROWS UNBOUNDED PRECEDING."""
+    ev = ld(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+def q_top_k(spark, sf_dir):
+    """W3: first-k sample with deterministic tiebreak (:1503, :1742)."""
+    orders = ld(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOP_K = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_min_max_clamp(spark, sf_dir):
+    """W4/P3: least/greatest clamp + abs/floor (:1218-1238)."""
+    li = ld(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.lit(5.0), F.least(F.lit(45.0), F.col("l_quantity"))).alias(
+            "clamped_qty"
+        ),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("price_bucket"),
+    )
+
+
+SQL_MIN_MAX_CLAMP = """
+SELECT l_orderkey, l_linenumber,
+       greatest(5.0, least(45.0, l_quantity)) AS clamped_qty,
+       abs(l_discount - 0.05) AS abs_disc_delta,
+       CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_bucket
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# Set operations (§2.6)
+# ===========================================================================
+
+def q_union_all(spark, sf_dir):
+    orders = ld(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return a.unionByName(b)
+
+
+SQL_UNION_ALL = """
+SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority='1-URGENT'
+UNION ALL
+SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_orderpriority='5-LOW'
+"""
+
+
+def q_intersect_keys(spark, sf_dir):
+    cust = ld(spark, sf_dir, "customer")
+    orders = ld(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='P'
+"""
+
+
+def q_except_keys(spark, sf_dir):
+    cust = ld(spark, sf_dir, "customer")
+    orders = ld(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).distinct()
+
+
+SQL_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='P'
+"""
+
+
+# ===========================================================================
+# Scalar functions (F1-F9)
+# ===========================================================================
+
+def q_string_funcs(spark, sf_dir):
+    """F1/F2: case/trim/affix + construction — the CS-{wo}-{equip}.pdf
+    pattern (:1772-1774) over customer attrs."""
+    cust = ld(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lower(F.col("c_mktsegment")).alias("seg_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+        F.col("c_name").endswith("1").alias("ends_1"),
+        F.format_string(
+            "CS-%s-%s.pdf", F.col("c_custkey").cast("string"), F.col("c_mktsegment")
+        ).alias("out_name"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey, lower(c_mktsegment) AS seg_lower,
+       trim('  ' || c_name || '  ') AS trimmed,
+       c_name LIKE '%1' AS ends_1,
+       printf('CS-%s-%s.pdf', CAST(c_custkey AS VARCHAR), c_mktsegment) AS out_name
+FROM customer
+"""
+
+
+def q_regex_extract(spark, sf_dir):
+    """F9: anchored regex extraction — the engine's core operator
+    (prompt spec :1615-1624) exercised on driver tables: extract the 8-digit
+    work-order key from a constructed 'Work Order No. :' line."""
+    orders = ld(spark, sf_dir, "orders")
+    text = F.concat(
+        F.lit("Work Order No. : "),
+        F.lpad(F.pmod(F.col("o_orderkey"), F.lit(100000000)).cast("string"), 8, "0"),
+        F.lit(" Equipment: EQ-"),
+        F.col("o_custkey").cast("string"),
+    )
+    wo = F.regexp_extract(text, r"Work\s+Order\s+No\.?\s*:?\s*(\d{8})", 1)
+    eq = F.regexp_extract(text, r"Equipment:\s*([A-Za-z0-9\-]+)", 1)
+    return orders.select(
+        "o_orderkey",
+        wo.alias("wo"),
+        eq.alias("equip"),
+        F.nullif(wo, F.lit("")).cast("long").alias("wo_num"),
+    )
+
+
+SQL_REGEX_EXTRACT = r"""
+WITH t AS (
+  SELECT o_orderkey,
+         'Work Order No. : ' || lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0')
+         || ' Equipment: EQ-' || CAST(o_custkey AS VARCHAR) AS text
+  FROM orders)
+SELECT o_orderkey,
+       regexp_extract(text, 'Work\s+Order\s+No\.?\s*:?\s*(\d{8})', 1) AS wo,
+       regexp_extract(text, 'Equipment:\s*([A-Za-z0-9\-]+)', 1) AS equip,
+       CAST(nullif(regexp_extract(text, 'Work\s+Order\s+No\.?\s*:?\s*(\d{8})', 1), '') AS BIGINT) AS wo_num
+FROM t
+"""
+
+
+def q_json_funcs(spark, sf_dir):
+    """F3: JSON path extraction (json.loads of the API response :1670)."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+SQL_JSON_FUNCS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+FROM events
+"""
+
+
+def q_cast_normalize(spark, sf_dir):
+    """F4: str/int key normalization (:1752-1767) — zero-padded string keys
+    cast back to numbers, both directions."""
+    cust = ld(spark, sf_dir, "customer")
+    padded = F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+    return cust.select(
+        "c_custkey",
+        padded.alias("padded_key"),
+        padded.cast("long").alias("renormalized"),
+        (padded.cast("long") == F.col("c_custkey")).alias("roundtrip_ok"),
+        F.col("c_name").rlike("^Customer#[0-9]+$").alias("name_is_keyed"),
+    )
+
+
+SQL_CAST_NORMALIZE = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       CAST(lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS BIGINT) AS renormalized,
+       CAST(lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS BIGINT) = c_custkey AS roundtrip_ok,
+       regexp_full_match(c_name, 'Customer#[0-9]+') AS name_is_keyed
+FROM customer
+"""
+
+
+def q_datetime_funcs(spark, sf_dir):
+    """F6: date formatting + extraction (:1000-1001) — month rollup."""
+    orders = ld(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+SQL_DATETIME_FUNCS = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+       MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+FROM orders GROUP BY 1
+"""
+
+
+def q_base64_funcs(spark, sf_dir):
+    """F7: base64 encode/roundtrip (payload embedding :1609-1612)."""
+    cust = ld(spark, sf_dir, "customer")
+    b64 = F.base64(F.encode(F.col("c_name"), "utf-8"))
+    return cust.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.decode(F.unbase64(b64), "utf-8").alias("roundtrip"),
+    )
+
+
+SQL_BASE64_FUNCS = """
+SELECT c_custkey, to_base64(encode(c_name)) AS name_b64,
+       decode(from_base64(to_base64(encode(c_name)))) AS roundtrip
+FROM customer
+"""
+
+
+def q_format_number(spark, sf_dir):
+    """F8: thousands-separator + fixed-width formatting (:803-806)."""
+    docs = ld(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.format_number(F.col("n_chars"), 0).alias("n_chars_fmt"),
+        F.format_string("%08d", F.col("doc_id").cast("int")).alias("doc_key"),
+    )
+
+
+SQL_FORMAT_NUMBER = """
+SELECT doc_id, format('{:,}', n_chars) AS n_chars_fmt,
+       printf('%08d', doc_id) AS doc_key
+FROM documents
+"""
+
+
+# ===========================================================================
+# Explode / page split (S-page stream, §2.9 UDTF shape)
+# ===========================================================================
+
+def q_explode_words(spark, sf_dir):
+    """Array explode + re-aggregation (page explode :1390-1445 subsumed by
+    explode per SURVEY §2.6): word frequencies over documents."""
+    docs = ld(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EXPLODE_WORDS = """
+SELECT word, COUNT(*) AS n FROM
+  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> '' GROUP BY word
+"""
+
+
+def q_page_split(spark, sf_dir):
+    """The reference's 1→N page split with `_page_%03d` naming (:1415-1428)
+    as sequence+posexplode, page count derived per row."""
+    orders = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    n_pages = (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int")
+    arr = orders.select(
+        "o_orderkey", F.sequence(F.lit(1), n_pages).alias("pages")
+    )
+    ex = arr.select("o_orderkey", F.explode("pages").alias("page_no"))
+    return ex.select(
+        "o_orderkey",
+        "page_no",
+        F.format_string("doc%d_page_%03d.pdf", "o_orderkey", "page_no").alias(
+            "page_name"
+        ),
+    )
+
+
+SQL_PAGE_SPLIT = """
+SELECT o_orderkey, CAST(page_no AS INTEGER) AS page_no,
+       printf('doc%d_page_%03d.pdf', o_orderkey, page_no) AS page_name
+FROM (SELECT o_orderkey, unnest(generate_series(1, CAST(o_orderkey % 3 AS INTEGER) + 1)) AS page_no
+      FROM orders WHERE o_orderkey < 2000)
+"""
+
+
+# ===========================================================================
+# Training-data ops: dedup family (documents)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy keeping the smallest doc_id."""
+    docs = ld(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLE_SPARK = None  # built inline below
+
+
+def _spark_shingles(docs):
+    """3-gram word shingles per doc (distinct)."""
+    words = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = words.filter(n >= 3).select(
+        "doc_id", F.explode(idx).alias("i"), "ws"
+    )
+    return sh.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("ws")[F.col("i")],
+            F.col("ws")[F.col("i") + 1],
+            F.col("ws")[F.col("i") + 2],
+        ).alias("shingle"),
+    ).distinct()
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+  WHERE len(ws) >= 3
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidates: n-gram Jaccard over 3-word shingles — shingle
+    self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6."""
+    docs = ld(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")
+    )
+    j = (
+        common.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    return j.select("doc1", "doc2", "jaccard")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc1, doc2,
+       ROUND(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE ROUND(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.6
+"""
+
+
+N_MINHASH = 8
+LSH_BANDS = 4  # 2 rows per band
+
+
+def _mh_hash_spark(shingle_col, seed: int):
+    """Shared cross-engine hash: first 8 hex chars of md5(seed#shingle)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle_col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _mh_hash_sql(expr: str, seed: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5('{seed}#' || {expr}), 1, 8)) AS BIGINT)"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 hashes) per document over 3-gram shingles —
+    the scale path for dedup: signature size is constant regardless of doc
+    length, so the shuffle carries 8 longs instead of the shingle set."""
+    docs = ld(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    aggs = [
+        F.min(_mh_hash_spark(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIG = f"""
+WITH shingles AS ({_SQL_SHINGLES})
+SELECT doc_id,
+  {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: band the 8-hash signature into 4 bands
+    of 2; docs sharing any band bucket become candidates (shingle→minhash→
+    band→bucket-join). This is the 100 TB-shaped dedup: the join key is a
+    small band hash, never the raw text."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(LSH_BANDS):
+        c1, c2 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("_", F.col(c1).cast("string"), F.col(c2).cast("string"))
+                ).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
+      for b in range(LSH_BANDS)
+  )})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprint: per-token md5-derived hash; bit j of
+    the fingerprint = sign of Σ_tokens (±1 per bit). Near-dup docs differ
+    in few bits (compare via hamming distance downstream)."""
+    docs = ld(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    wb = words.select(
+        "doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    )
+    contrib = wb.withColumn(
+        "c",
+        F.when(F.expr("(h >> bit) & 1").cast("int") == 1, 1).otherwise(-1),
+    )
+    bits = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return (
+        bits.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = f"""
+WITH words AS (
+  SELECT doc_id, w FROM
+    (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+  WHERE w <> ''),
+hashed AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(w),1,8)) AS BIGINT) AS h FROM words),
+bits AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: for query vectors (vec_id < 5), the top-5
+    nearest neighbors. Rank on ROUND(sim, 4) with vec_id tiebreak so both
+    engines order identically despite last-ulp float differences."""
+    emb = ld(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nn = F.sqrt(
+        F.aggregate(
+            F.transform("nv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sim = F.round(dot / (nq * nn), 4)
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+pairs AS (
+  SELECT qid, nid,
+         ROUND(list_dot_product(qv::DOUBLE[], nv::DOUBLE[]) /
+               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+                sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[]))), 4) AS sim
+  FROM q, c WHERE qid <> nid)
+SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
+
+
+N_PLANES = 8
+
+
+def _plane_val_sql(j: str, d: str) -> str:
+    return f"(((1 + ({j}*64 + {d}) * 2654435761) % 2001) - 1000)"
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH — 8 integer-valued planes
+    (derived from index arithmetic, identical in both engines), bucket =
+    sign bits of the 8 projections. Per-term DECIMAL rounding makes the
+    projection sum order-independent, so signs agree across engines.
+    At 100 TB you bucket-join instead of cross-joining embeddings."""
+    emb = ld(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    )
+    ed = e.select(
+        "vec_id",
+        "d",
+        F.col("x").cast("double").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
+    )
+    plane = ((F.lit(1) + (F.col("j") * 64 + F.col("d")) * F.lit(2654435761)) % 2001) - 1000
+    term = (F.col("x") * plane.cast("double")).cast("decimal(28,9)")
+    proj = ed.withColumn("term", term).groupBy("vec_id", "j").agg(
+        F.sum("term").alias("proj")
+    )
+    bit = F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+    return (
+        proj.withColumn("bit", bit)
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, d - 1 AS d, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)),
+ed AS (
+  SELECT vec_id, d, x, j
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)),
+proj AS (
+  SELECT vec_id, j,
+         SUM(CAST(x * CAST({_plane_val_sql('j', 'd')} AS DOUBLE) AS DECIMAL(28,9))) AS proj
+  FROM ed GROUP BY vec_id, j)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+# ===========================================================================
+# Text analysis (documents)
+# ===========================================================================
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-ratio thresholding (n-gram heuristic
+    family). Emits the score so the rule is auditable."""
+    docs = ld(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*_STOPWORDS), 1).otherwise(0)).alias(
+            "n_stop"
+        ),
+    )
+    ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_stop").cast("long").alias("n_stop"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+SQL_LANGID = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+  WHERE w <> ''),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN w IN {_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM words GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_stop,
+       ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+       CASE WHEN ROUND(n_stop / n_tokens, 6) >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang
+FROM agg
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length/avg-word-length/short-doc flags."""
+    docs = ld(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 4).alias("chars_per_token"),
+        (F.col("n_chars") < 50).alias("too_short"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id, n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(n_chars / len(string_split(text, ' ')), 4) AS chars_per_token,
+       n_chars < 50 AS too_short
+FROM documents
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letter-runs / digit-runs / single punctuation)."""
+    docs = ld(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 64-bit content fingerprint from md5 of
+    canonicalized text (rolling-hash family, cross-engine-stable)."""
+    docs = ld(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(canon), 1, 16).alias("fingerprint"),
+        F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long").alias(
+            "fingerprint_int"
+        ),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+       CAST(CONCAT('0x', substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fingerprint_int
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (byte length, sha256 checksum) — the decode stage itself is stubbed in
+    operators/multimodal.py; the schema/bytes path is real."""
+    docs = ld(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("sha256"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # aggregations / filters
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "case_quality_flags": (q_case_quality_flags, SQL_CASE_QUALITY),
+    "null_guard_coalesce": (q_null_guard_coalesce, SQL_NULL_GUARD),
+    "status_counters": (q_status_counters, SQL_STATUS_COUNTERS),
+    "cost_sums": (q_cost_sums, SQL_COST_SUMS),
+    "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
+    "groupby_having": (q_groupby_having, SQL_GROUPBY_HAVING),
+    "progress_fraction": (q_progress_fraction, SQL_PROGRESS_FRACTION),
+    # joins
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
+    "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
+    "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
+    # windows / ordering
+    "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
+    "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
+    "lag_gap": (q_lag_gap, SQL_LAG_GAP),
+    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "top_k": (q_top_k, SQL_TOP_K),
+    "min_max_clamp": (q_min_max_clamp, SQL_MIN_MAX_CLAMP),
+    # set ops
+    "union_all": (q_union_all, SQL_UNION_ALL),
+    "intersect_keys": (q_intersect_keys, SQL_INTERSECT),
+    "except_keys": (q_except_keys, SQL_EXCEPT),
+    # scalar functions
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
+    "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
+    "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
+    "base64_funcs": (q_base64_funcs, SQL_BASE64_FUNCS),
+    "format_number": (q_format_number, SQL_FORMAT_NUMBER),
+    # explode / page split
+    "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
+    "page_split": (q_page_split, SQL_PAGE_SPLIT),
+    # dedup family
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    # similarity search
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    # text analysis / multimodal
+    "langid": (q_langid, SQL_LANGID),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+}
