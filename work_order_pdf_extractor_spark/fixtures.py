@@ -247,13 +247,22 @@ def gen_transcripts(scale: str = "tiny", seed: int = 42) -> pd.DataFrame:
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     df["turn_idx"] = df["turn_idx"].astype("int32")
-    df["ts"] = pd.to_datetime(df["ts"])
+    # microsecond precision: Spark cannot read parquet TIMESTAMP(NANOS)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
     return df
 
 
-def write_fixture_parquet(out_dir: str, scale: str = "tiny", seed: int = 42) -> dict[str, str]:
+def write_fixture_parquet(
+    out_dir: str, scale: str = "tiny", seed: int = 42, n_files: int = 32
+) -> dict[str, str]:
     """Materialize transcripts + reference_orders parquet for Spark reads.
-    Returns {table: path}. Idempotent for a given (out_dir, scale, seed)."""
+
+    The transcripts table is written as ``n_files`` parquet files (a
+    directory) so Spark's scan parallelism matches the core count without a
+    payload shuffle — at real scale the table would arrive as thousands of
+    Iceberg data files, so multi-file is the faithful layout.
+    Returns {table: path}. Idempotent for a given (out_dir, scale, seed).
+    """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -261,8 +270,21 @@ def write_fixture_parquet(out_dir: str, scale: str = "tiny", seed: int = 42) -> 
         "transcripts": os.path.join(out_dir, f"transcripts_{scale}.parquet"),
         "reference_orders": os.path.join(out_dir, "reference_orders.parquet"),
     }
-    if not os.path.exists(paths["transcripts"]):
-        gen_transcripts(scale, seed).to_parquet(paths["transcripts"], index=False)
+    tdir = paths["transcripts"]
+    if not os.path.exists(tdir):
+        df = gen_transcripts(scale, seed)
+        tmp = tdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        step = -(-len(df) // n_files)
+        for i in range(n_files):
+            chunk = df.iloc[i * step : (i + 1) * step]
+            if len(chunk):
+                chunk.to_parquet(
+                    os.path.join(tmp, f"part-{i:05d}.parquet"),
+                    index=False,
+                    row_group_size=2048,
+                )
+        os.replace(tmp, tdir)
     if not os.path.exists(paths["reference_orders"]):
         gen_reference_orders(seed).to_parquet(paths["reference_orders"], index=False)
     return paths

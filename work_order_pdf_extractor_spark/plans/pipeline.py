@@ -64,12 +64,21 @@ def run_pipeline(
     spans, work_order_number, equipment_number, customer, order_date,
     status, matched, disposition, out_name)`` — one row per input turn.
     """
-    t = (
-        skew.repartition_salted(transcripts, n_partitions)
-        if salt
-        else (transcripts.repartition(n_partitions, "conv_id") if n_partitions else transcripts)
-    )
-    extracted = extract_turns(t, crop)
+    # ORDER MATTERS AT SCALE: extraction runs FIRST, on the scan's own
+    # partitioning — the wide payload column is consumed and dropped inside
+    # the mapInPandas pass and NEVER shuffles. Only the small extracted rows
+    # are redistributed afterwards (salted, for conversation-local
+    # downstream ops). Shuffling payloads before extraction would move the
+    # entire 100 TB corpus across the network for zero benefit.
+    extracted = extract_turns(transcripts, crop)
+    if salt:
+        # whale census on the RAW input (pruned conv_id column scan), never
+        # on the extraction output — see repartition_salted docstring
+        extracted = skew.repartition_salted(
+            extracted, n_partitions, lengths_source=transcripts
+        )
+    elif n_partitions:
+        extracted = extracted.repartition(n_partitions, "conv_id")
     extracted = extracted.withColumn(
         "wo_norm", normalize_key_col(F.col("work_order_number"))
     )

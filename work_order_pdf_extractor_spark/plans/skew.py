@@ -34,6 +34,7 @@ def repartition_salted(
     n_partitions: int | None = None,
     whale_threshold: int = DEFAULT_WHALE_THRESHOLD,
     n_salts: int = DEFAULT_N_SALTS,
+    lengths_source: DataFrame | None = None,
 ) -> DataFrame:
     """Distribute by (conv_id, salt) with whales spread across salts.
 
@@ -41,9 +42,17 @@ def repartition_salted(
     broadcast back (it is tiny by definition — only conversations above the
     threshold). At 100 TB this is a count per key, a map-side-combined
     shuffle of ~n_convs rows, not a data shuffle.
+
+    ``lengths_source``: where to count conversation lengths. Pass the RAW
+    input table here when ``df`` is the output of an expensive operator —
+    counting on ``df`` itself would re-execute that operator for the census
+    (Spark re-evaluates uncached lineage per action), whereas counting on
+    the input reads a single pruned column from parquet.
     """
     whales = (
-        conversation_lengths(df)
+        conversation_lengths(
+            (lengths_source if lengths_source is not None else df).select("conv_id")
+        )
         .filter(F.col("n_turns") >= whale_threshold)
         .select("conv_id")
         .withColumn("is_whale", F.lit(True))

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local inputs are small; without a floor Spark would pack the whole
+        # scan into a couple of tasks and starve the Python workers. On a
+        # real cluster file count ≫ cores and this config is a no-op.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str((32 if cores == "*" else int(cores)) * 2),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
