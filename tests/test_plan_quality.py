@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must be
+visible in `.explain` — pushdown, pruning, broadcast, codegen, and the
+no-payload-after-extraction rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from work_order_pdf_extractor_spark import queries as Q
+from work_order_pdf_extractor_spark.operators.extract import extract_turns
+from work_order_pdf_extractor_spark.plans import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = Q.q_filter_project(spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_column_pruning_in_scan(spark):
+    df = Q.q_filter_project(spark, SF)
+    plan = _formatted(df)
+    # ReadSchema must NOT include untouched wide columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read and "l_partkey" not in read
+
+
+def test_semi_join_is_broadcast(spark):
+    plan = _plan(Q.q_semi_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_ref_join_is_broadcast(spark, transcripts_df, ref_orders_df):
+    res = pipeline.run_pipeline(transcripts_df, ref_orders_df)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_payload_never_shuffles(spark, transcripts_df, ref_orders_df):
+    """The wide `text` column must not appear in any exchange: extraction
+    consumes it on the scan side (the single most important data-movement
+    property at 100 TB)."""
+    res = pipeline.run_pipeline(transcripts_df, ref_orders_df)
+    plan = _plan(res)
+    for block in plan.split("Exchange"):
+        pass
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "text" in ln
+    ]
+    assert not exchanges, exchanges
+
+
+def test_extraction_drops_payload_column(transcripts_df):
+    out = extract_turns(transcripts_df)
+    assert "text" not in out.columns
+
+
+def test_whole_stage_codegen_on_relational_query(spark):
+    # codegen stages appear as `*(n)` in the simple plan string
+    plan = _plan(Q.q_pricing_summary(spark, SF))
+    assert "*(1)" in plan, plan[:500]
+
+
+def test_window_has_single_shuffle(spark):
+    df = Q.q_turn_order_window(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = _plan(Q.q_status_counters(spark, SF))
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
