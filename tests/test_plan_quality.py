@@ -76,9 +76,11 @@ def test_extraction_drops_payload_column(transcripts_df):
 
 
 def test_whole_stage_codegen_on_relational_query(spark):
-    # codegen stages appear as `*(n)` in the simple plan string
-    plan = _plan(Q.q_pricing_summary(spark, SF))
-    assert "*(1)" in plan, plan[:500]
+    # codegen stages are tagged `[codegen id : n]` in formatted explain
+    plan = _formatted(Q.q_filter_project(spark, SF))
+    assert "codegen id" in plan, plan[:500]
+    # and the whole scan→filter→project chain is ONE codegen stage
+    assert "[codegen id : 1]" in plan
 
 
 def test_window_has_single_shuffle(spark):
