@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take/return DataFrames and are pure DataFrame-API
+compositions (JVM-side, codegen-friendly, no Python in the hot path).
+Cross-engine-stable hashing (md5-hex → int) is used instead of engine-
+native ``hash()`` so results are reproducible anywhere and oracle-checkable.
+
+Scale notes per operator are in the docstrings — the common theme: never
+join or shuffle raw text; join on hashes/signatures/buckets whose size is
+independent of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 8
+LSH_BANDS = 4
+SIMHASH_BITS = 16
+
+
+def stable_hash64(col: F.Column, seed: int | None = None) -> F.Column:
+    """First 8 md5 hex chars → bigint; identical in Spark and DuckDB."""
+    src = F.concat(F.lit(f"{seed}#"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash; keeps the smallest id as the keeper.
+    One map-side-combined shuffle on a 32-char hash — the raw text never
+    moves."""
+    return (
+        df.withColumn("content_hash", F.md5(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias(f"keeper_{id_col}"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct n-word shingles per document (the unit of near-dup
+    comparison). Explode happens JVM-side from a split array."""
+    words = df.select(id_col, F.split(text_col, " ").alias("ws"))
+    sz = F.size("ws")
+    idx = F.sequence(F.lit(0), sz - n)
+    sh = words.filter(sz >= n).select(id_col, F.explode(idx).alias("i"), "ws")
+    parts = [F.col("ws")[F.col("i") + k] for k in range(n)]
+    return sh.select(
+        id_col, F.concat_ws(" ", *parts).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle self-join.
+
+    Exact but quadratic in the worst case — the VERIFICATION stage of a
+    dedup pipeline. At scale, run :func:`minhash_lsh_pairs` first and feed
+    only candidate pairs here (LSH prunes the cross product)."""
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: ``n_hashes`` seeded min-hashes over
+    the shingle set. Signature size is CONSTANT regardless of document
+    length — the shuffle carries n_hashes longs per doc, which is what
+    makes dedup tractable at 100 TB."""
+    sh = word_shingles(df, n, text_col, id_col)
+    aggs = [
+        F.min(stable_hash64(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: signatures banded into ``bands`` groups;
+    docs sharing any band bucket become candidates. The join key is a band
+    hash — linear in corpus size, never quadratic."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col)
+    band_frames = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_frames.append(
+            sig.select(
+                id_col,
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    allb = band_frames[0]
+    for x in band_frames[1:]:
+        allb = allb.unionByName(x)
+    a, b_ = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: bit j = sign of Σ over tokens of ±1 from the
+    token hash's bit j. Near-duplicates differ in few bits; compare
+    downstream with ``bit_count(a ^ b)``."""
+    words = df.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = stable_hash64(F.col("w"))
+    wb = words.select(
+        id_col,
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    contrib = wb.withColumn(
+        "c", F.when(F.expr("(h >> bit) & 1").cast("int") == 1, 1).otherwise(-1)
+    )
+    per_bit = contrib.groupBy(id_col, "bit").agg(F.sum("c").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 2, bits: int = SIMHASH_BITS,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, bucketed
+    by half-fingerprint (pigeonhole: a pair within distance d shares at
+    least one of d+1 segments, so segment-bucketing prunes the join)."""
+    sh = simhash(df, bits, text_col, id_col)
+    half = bits // 2
+    segs = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("seg"), F.expr(f"simhash % {2**half}").alias("key")),
+                F.struct(F.lit(1).alias("seg"), F.expr(f"simhash div {2**half}").alias("key")),
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(h1 ^ h2)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is deployed at scale:
+
+- :func:`cosine_topk` — exact brute force (cross join + JVM-side
+  ``zip_with``/``aggregate`` dot products). The BASELINE: correct for any
+  input, quadratic cost; right when the query set is small.
+- :func:`hyperplane_lsh_buckets` + :func:`lsh_topk` — random-hyperplane
+  LSH: each vector gets a small integer bucket from the sign pattern of
+  deterministic integer-valued hyperplane projections; candidates come
+  from equal (or near) buckets, so the join is linear-ish. The 100 TB
+  path: bucket first, brute-force only within buckets.
+
+Determinism: projections accumulate per-term ``DECIMAL`` so the sum is
+association-free; sims are ranked on ``round(sim, 4)`` with id tiebreaks —
+both choices make results identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (default: every
+    vector queries the whole set). Output: (qid, nid, sim, rank)."""
+    q = (query_df if query_df is not None else df).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern LSH bucket per vector. Hyperplanes are integer-valued
+    pseudo-random functions of (plane, dim) — reproducible everywhere, no
+    stored model. Output: (id_col, bucket:int)."""
+    e = df.select(id_col, F.posexplode(vec_col).alias("d", "x"))
+    ed = e.select(
+        id_col,
+        "d",
+        F.col("x").cast("double").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
+    )
+    plane = (
+        (F.lit(1) + (F.col("j") * 64 + F.col("d")) * F.lit(2654435761)) % 2001
+    ) - 1000
+    term = (F.col("x") * plane.cast("double")).cast("decimal(28,9)")
+    proj = ed.withColumn("term", term).groupBy(id_col, "j").agg(
+        F.sum("term").alias("proj")
+    )
+    bit = F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+    return (
+        proj.withColumn("bit", bit)
+        .groupBy(id_col)
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine WITHIN each LSH bucket.
+    Recall is tunable via n_planes (fewer planes → bigger buckets →
+    higher recall, more compute). Output: (qid, nid, sim, rank)."""
+    b = hyperplane_lsh_buckets(df, n_planes, id_col, vec_col)
+    withb = df.join(b, id_col)
+    a = withb.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = withb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )

@@ -1,0 +1,83 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+fingerprinting — all JVM-side expressions (no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import stable_hash64
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def langid_scores(
+    df: DataFrame,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-heuristic family): a doc
+    whose stopword ratio clears the threshold is labeled 'en'."""
+    words = df.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*stopwords), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_stop",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    min_chars: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chars_col: str = "n_chars",
+) -> DataFrame:
+    n_tokens = F.size(F.split(text_col, " "))
+    return df.select(
+        id_col,
+        n_chars_col,
+        n_tokens.alias("n_tokens"),
+        F.round(F.col(n_chars_col) / n_tokens, 4).alias("chars_per_token"),
+        (F.col(n_chars_col) < min_chars).alias("too_short"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single punctuation)."""
+    return df.select(
+        id_col,
+        F.size(F.split(text_col, " ")).alias("ws_tokens"),
+        F.size(
+            F.expr(
+                rf"regexp_extract_all({text_col}, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+            )
+        ).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalized content fingerprint (rolling-hash family)."""
+    canon = F.lower(F.trim(F.col(text_col)))
+    return df.select(
+        id_col,
+        F.substring(F.md5(canon), 1, 16).alias("fingerprint"),
+        stable_hash64(canon).alias("fingerprint_int"),
+    )

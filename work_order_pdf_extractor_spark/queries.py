@@ -777,15 +777,9 @@ FROM (SELECT o_orderkey, unnest(generate_series(1, CAST(o_orderkey % 3 AS INTEGE
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: content-hash groupBy keeping the smallest doc_id."""
-    docs = ld(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("content_hash", F.md5("text"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("doc_id").alias("keeper_doc_id"),
-        )
-    )
+    from .operators import dedup
+
+    return dedup.exact_duplicates(ld(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = """
@@ -793,30 +787,6 @@ SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
        MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1
 """
-
-
-_SHINGLE_SPARK = None  # built inline below
-
-
-def _spark_shingles(docs):
-    """3-gram word shingles per doc (distinct)."""
-    words = docs.select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    n = F.size("ws")
-    idx = F.sequence(F.lit(0), n - 3)
-    sh = words.filter(n >= 3).select(
-        "doc_id", F.explode(idx).alias("i"), "ws"
-    )
-    return sh.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.col("ws")[F.col("i")],
-            F.col("ws")[F.col("i") + 1],
-            F.col("ws")[F.col("i") + 2],
-        ).alias("shingle"),
-    ).distinct()
 
 
 _SQL_SHINGLES = """
@@ -831,39 +801,11 @@ _SQL_SHINGLES = """
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: n-gram Jaccard over 3-word shingles — shingle
     self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.6."""
-    docs = ld(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    from .operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        ld(spark, sf_dir, "documents"), n=3, threshold=0.6
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")
-    )
-    j = (
-        common.join(sa, "doc1")
-        .join(sb, "doc2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n1") + F.col("n2") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-    )
-    return j.select("doc1", "doc2", "jaccard")
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -884,13 +826,6 @@ N_MINHASH = 8
 LSH_BANDS = 4  # 2 rows per band
 
 
-def _mh_hash_spark(shingle_col, seed: int):
-    """Shared cross-engine hash: first 8 hex chars of md5(seed#shingle)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle_col)), 1, 8), 16, 10
-    ).cast("long")
-
-
 def _mh_hash_sql(expr: str, seed: int) -> str:
     return (
         f"CAST(CONCAT('0x', substr(md5('{seed}#' || {expr}), 1, 8)) AS BIGINT)"
@@ -901,13 +836,9 @@ def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (8 hashes) per document over 3-gram shingles —
     the scale path for dedup: signature size is constant regardless of doc
     length, so the shuffle carries 8 longs instead of the shingle set."""
-    docs = ld(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs)
-    aggs = [
-        F.min(_mh_hash_spark(F.col("shingle"), i)).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    from .operators import dedup
+
+    return dedup.minhash_signatures(ld(spark, sf_dir, "documents"), N_MINHASH)
 
 
 SQL_MINHASH_SIG = f"""
@@ -923,35 +854,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     of 2; docs sharing any band bucket become candidates (shingle→minhash→
     band→bucket-join). This is the 100 TB-shaped dedup: the join key is a
     small band hash, never the raw text."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(LSH_BANDS):
-        c1, c2 = f"mh{2 * b}", f"mh{2 * b + 1}"
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("_", F.col(c1).cast("string"), F.col(c2).cast("string"))
-                ).alias("bucket"),
-            )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.alias("a")
-    b_ = allb.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .distinct()
+    from .operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        ld(spark, sf_dir, "documents"), N_MINHASH, LSH_BANDS
     )
 
 
@@ -979,27 +885,9 @@ def q_simhash(spark, sf_dir):
     """SimHash document fingerprint: per-token md5-derived hash; bit j of
     the fingerprint = sign of Σ_tokens (±1 per bit). Near-dup docs differ
     in few bits (compare via hamming distance downstream)."""
-    docs = ld(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    wb = words.select(
-        "doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    )
-    contrib = wb.withColumn(
-        "c",
-        F.when(F.expr("(h >> bit) & 1").cast("int") == 1, 1).otherwise(-1),
-    )
-    bits = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-    return (
-        bits.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    from .operators import dedup
+
+    return dedup.simhash(ld(spark, sf_dir, "documents"), SIMHASH_BITS)
 
 
 SQL_SIMHASH = f"""
@@ -1019,6 +907,47 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash hamming distance ≤ 3, candidate-pruned by
+    half-fingerprint buckets (pigeonhole: distance ≤ d ⇒ some segment of
+    d+1 is equal; with 2 segments this catches distance ≤ 1 exactly and
+    most of ≤ 3 — the recall/cost tradeoff of segment LSH)."""
+    from .operators import dedup
+
+    return dedup.simhash_near_pairs(
+        ld(spark, sf_dir, "documents"), max_hamming=3, bits=SIMHASH_BITS
+    )
+
+
+SQL_SIMHASH_NEAR = f"""
+WITH words AS (
+  SELECT doc_id, w FROM
+    (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+  WHERE w <> ''),
+hashed AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(w),1,8)) AS BIGINT) AS h FROM words),
+bits AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+segs AS (
+  SELECT doc_id, simhash, 0 AS seg, simhash % {2 ** (SIMHASH_BITS // 2)} AS key FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS seg, simhash // {2 ** (SIMHASH_BITS // 2)} AS key FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM segs a JOIN segs b
+    ON a.seg = b.seg AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+"""
+
+
 # ===========================================================================
 # Similarity search (embeddings)
 # ===========================================================================
@@ -1027,43 +956,11 @@ def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: for query vectors (vec_id < 5), the top-5
     nearest neighbors. Rank on ROUND(sim, 4) with vec_id tiebreak so both
     engines order identically despite last-ulp float differences."""
+    from .operators import similarity
+
     emb = ld(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nn = F.sqrt(
-        F.aggregate(
-            F.transform("nv", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    sim = F.round(dot / (nq * nn), 4)
-    pairs = (
-        q.crossJoin(c)
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", sim.alias("sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "nid", "sim", "rank")
+    return similarity.cosine_topk(
+        emb, query_df=emb.filter(F.col("vec_id") < 5), k=5
     )
 
 
@@ -1097,26 +994,10 @@ def q_ann_lsh_buckets(spark, sf_dir):
     sign bits of the 8 projections. Per-term DECIMAL rounding makes the
     projection sum order-independent, so signs agree across engines.
     At 100 TB you bucket-join instead of cross-joining embeddings."""
-    emb = ld(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    )
-    ed = e.select(
-        "vec_id",
-        "d",
-        F.col("x").cast("double").alias("x"),
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
-    )
-    plane = ((F.lit(1) + (F.col("j") * 64 + F.col("d")) * F.lit(2654435761)) % 2001) - 1000
-    term = (F.col("x") * plane.cast("double")).cast("decimal(28,9)")
-    proj = ed.withColumn("term", term).groupBy("vec_id", "j").agg(
-        F.sum("term").alias("proj")
-    )
-    bit = F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
-    return (
-        proj.withColumn("bit", bit)
-        .groupBy("vec_id")
-        .agg(F.sum("bit").cast("int").alias("bucket"))
+    from .operators import similarity
+
+    return similarity.hyperplane_lsh_buckets(
+        ld(spark, sf_dir, "embeddings"), N_PLANES
     )
 
 
@@ -1139,6 +1020,50 @@ FROM proj GROUP BY vec_id
 """
 
 
+def q_lsh_topk(spark, sf_dir):
+    """Approximate top-k: cosine ranking WITHIN hyperplane-LSH buckets —
+    the scale path that replaces the cross join of q_cosine_topk."""
+    from .operators import similarity
+
+    return similarity.lsh_topk(
+        ld(spark, sf_dir, "embeddings"), k=3, n_planes=N_PLANES
+    )
+
+
+SQL_LSH_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, d - 1 AS d, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)),
+ed AS (
+  SELECT vec_id, d, x, j
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)),
+proj AS (
+  SELECT vec_id, j,
+         SUM(CAST(x * CAST({_plane_val_sql('j', 'd')} AS DOUBLE) AS DECIMAL(28,9))) AS proj
+  FROM ed GROUP BY vec_id, j),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM proj GROUP BY vec_id),
+withv AS (
+  SELECT b.vec_id, b.bucket, emb.embedding FROM buckets b
+  JOIN embeddings emb ON b.vec_id = emb.vec_id),
+pairs AS (
+  SELECT a.vec_id AS qid, c.vec_id AS nid,
+         ROUND(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS sim
+  FROM withv a JOIN withv c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
 # ===========================================================================
 # Text analysis (documents)
 # ===========================================================================
@@ -1149,23 +1074,10 @@ _STOPWORDS = ("the", "a", "of", "and", "to")
 def q_langid(spark, sf_dir):
     """Language-ID heuristic: stopword-ratio thresholding (n-gram heuristic
     family). Emits the score so the rule is auditable."""
-    docs = ld(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    agg = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("w").isin(*_STOPWORDS), 1).otherwise(0)).alias(
-            "n_stop"
-        ),
-    )
-    ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
-    return agg.select(
-        "doc_id",
-        "n_tokens",
-        F.col("n_stop").cast("long").alias("n_stop"),
-        ratio.alias("stop_ratio"),
-        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    from .operators import textstats
+
+    return textstats.langid_scores(
+        ld(spark, sf_dir, "documents"), _STOPWORDS, 0.05
     )
 
 
@@ -1186,15 +1098,9 @@ FROM agg
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length/avg-word-length/short-doc flags."""
-    docs = ld(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split("text", " "))
-    return docs.select(
-        "doc_id",
-        "n_chars",
-        n_tokens.alias("n_tokens"),
-        F.round(F.col("n_chars") / n_tokens, 4).alias("chars_per_token"),
-        (F.col("n_chars") < 50).alias("too_short"),
-    )
+    from .operators import textstats
+
+    return textstats.quality_scores(ld(spark, sf_dir, "documents"), 50)
 
 
 SQL_QUALITY = """
@@ -1209,14 +1115,9 @@ FROM documents
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens
     (letter-runs / digit-runs / single punctuation)."""
-    docs = ld(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
-        ).alias("bpe_tokens"),
-    )
+    from .operators import textstats
+
+    return textstats.token_counts(ld(spark, sf_dir, "documents"))
 
 
 SQL_TOKEN_COUNT = r"""
@@ -1229,15 +1130,9 @@ FROM documents
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: 64-bit content fingerprint from md5 of
     canonicalized text (rolling-hash family, cross-engine-stable)."""
-    docs = ld(spark, sf_dir, "documents")
-    canon = F.lower(F.trim(F.col("text")))
-    return docs.select(
-        "doc_id",
-        F.substring(F.md5(canon), 1, 16).alias("fingerprint"),
-        F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long").alias(
-            "fingerprint_int"
-        ),
-    )
+    from .operators import textstats
+
+    return textstats.fingerprints(ld(spark, sf_dir, "documents"))
 
 
 SQL_DOC_FINGERPRINT = """
@@ -1316,9 +1211,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     # similarity search
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     # text analysis / multimodal
     "langid": (q_langid, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
