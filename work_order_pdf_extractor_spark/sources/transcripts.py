@@ -1,0 +1,52 @@
+"""Transcripts source — the engine's S1 (SURVEY §2.1).
+
+The production shape is an Iceberg table
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)``; the sandbox fallback is a parquet directory of the same
+schema. Both go through one reader so the pipeline code is
+catalog-agnostic (SURVEY §7 guiding decision): Iceberg when the runtime
+jar is on the classpath, parquet otherwise — never a code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+REQUIRED_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(spark: SparkSession, location: str) -> DataFrame:
+    """``location`` is either an Iceberg table identifier (``catalog.db.t``)
+    or a parquet path. Validates the mandated schema either way."""
+    if "/" not in location and iceberg_available(spark):
+        df = spark.read.format("iceberg").table(location)
+    else:
+        df = spark.read.parquet(location)
+    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"transcripts source missing columns: {missing}")
+    return df.select(*REQUIRED_COLUMNS)
+
+
+def read_reference_orders(spark: SparkSession, location: str) -> DataFrame:
+    """The reference key set — S2 (SURVEY §2.1): the reference reads a CSV
+    with header ``Order`` and collects a set
+    (``work_order_extractor.py:976-996``); here it is a CSV or parquet scan
+    whose distinct keys become the broadcast build side."""
+    if location.endswith(".csv"):
+        df = spark.read.option("header", True).csv(location)
+    else:
+        df = spark.read.parquet(location)
+    if "Order" not in df.columns:
+        raise ValueError("reference orders source must expose column 'Order'")
+    return df.select("Order")
