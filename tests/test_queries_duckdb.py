@@ -42,3 +42,10 @@ def test_entry_contract(spark):
     o = E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(REGISTRY)
+
+
+def test_approx_distinct_within_bound(spark):
+    """HLL++ estimate within its configured 2% rsd (allow 4x margin)."""
+    df = REGISTRY["approx_distinct"][0](spark, SF).toPandas()
+    for r in df.itertuples():
+        assert abs(r.approx_parts - r.exact_parts) <= max(4, 0.08 * r.exact_parts)

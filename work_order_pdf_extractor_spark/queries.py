@@ -250,6 +250,127 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Grouping-sets family: ROLLUP subtotals + grand total (engine
+    completeness beyond the reference, which has flat groupBy only)."""
+    li = ld(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _spark_dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (Spark .pivot vs CASE-sum)."""
+    ev = ld(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+SQL_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def q_salted_two_phase_agg(spark, sf_dir):
+    """The skew pattern as a harness query: salt → per-(key,salt) partial
+    aggregate → merge (SURVEY §4 'salting is plain column logic'). The
+    oracle is the UNSALTED aggregate — proving the two-phase rewrite is
+    semantics-preserving (exactness via DECIMAL partials)."""
+    ev = ld(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("part_sum"),
+        F.count(F.lit(1)).alias("part_n"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("part_sum").cast("double").alias("sum_value"),
+        F.sum("part_n").alias("n"),
+    )
+
+
+SQL_SALTED_AGG = f"""
+SELECT event_type, {_dsum('value')} AS sum_value, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_conversation_rollup(spark, sf_dir):
+    """Grouped-map UDF (applyInPandas) — per-conversation reassembly under
+    the W2 stable-order guarantee (SURVEY §2.9 last row): each group sorts
+    by (ts, event_id) and concatenates, exactly what per-conversation
+    transcript ops do at scale; salting + merge keeps this correct for
+    whales."""
+    import pandas as pd
+
+    ev = ld(spark, sf_dir, "events")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "event_seq": [",".join(g["event_type"])],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        rollup, schema="user_id long, n_events long, event_seq string"
+    )
+
+
+SQL_CONV_ROLLUP = """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (interpolated) per event type."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketch count-distinct — the at-scale variant of A5. No SQL
+    oracle (sketch estimates are engine-specific); the driver records the
+    weaker rows-only check, and the pytest suite bounds the estimate
+    against the exact count instead."""
+    li = ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ===========================================================================
 # Joins (J1-J3 + verification join)
 # ===========================================================================
@@ -273,17 +394,21 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
 
 
 def q_anti_join(spark, sf_dir):
-    """J2: anti-join complement (not_match routing :1786-1797)."""
+    """J2: anti-join complement (not_match routing :1786-1797) —
+    customers with no URGENT order."""
     cust = ld(spark, sf_dir, "customer")
-    orders = ld(spark, sf_dir, "orders")
+    urgent = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -1177,6 +1302,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "groupby_having": (q_groupby_having, SQL_GROUPBY_HAVING),
     "progress_fraction": (q_progress_fraction, SQL_PROGRESS_FRACTION),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT),
+    "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
+    "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "approx_distinct": (q_approx_distinct, None),
     # joins
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
