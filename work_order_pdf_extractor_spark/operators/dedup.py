@@ -167,27 +167,28 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: bit j = sign of Σ over tokens of ±1 from the
     token hash's bit j. Near-duplicates differ in few bits; compare
-    downstream with ``bit_count(a ^ b)``."""
+    downstream with ``bit_count(a ^ b)``.
+
+    Plan shape: ONE explode (tokens) and ONE aggregation with ``bits``
+    per-bit sum expressions — not an explode over bits, which would blow
+    the row count up ``bits``-fold before the shuffle (measured 3-4x
+    slower at sf0.1)."""
     words = df.select(
         id_col, F.explode(F.split(text_col, " ")).alias("w")
     ).filter(F.col("w") != "")
     h = stable_hash64(F.col("w"))
-    wb = words.select(
-        id_col,
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    wb = words.select(id_col, h.alias("h"))
+    per_bit = wb.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"CAST((h >> {b}) & 1 AS INT) * 2 - 1")).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    contrib = wb.withColumn(
-        "c", F.when(F.expr("(h >> bit) & 1").cast("int") == 1, 1).otherwise(-1)
-    )
-    per_bit = contrib.groupBy(id_col, "bit").agg(F.sum("c").alias("s"))
-    return (
-        per_bit.withColumn(
-            "bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_bit.select(id_col, sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
