@@ -75,6 +75,15 @@ def test_extraction_drops_payload_column(transcripts_df):
     assert "text" not in out.columns
 
 
+def test_pipeline_runs_extraction_exactly_once(spark, transcripts_df, ref_orders_df):
+    """The whale census must come from the raw input scan, not from the
+    extraction output — otherwise the UDF executes twice per action
+    (a 2x regression caught and fixed during bench)."""
+    res = pipeline.run_pipeline(transcripts_df, ref_orders_df)
+    plan = _plan(res)
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_whole_stage_codegen_on_relational_query(spark):
     # codegen stages are tagged `[codegen id : n]` in formatted explain
     plan = _formatted(Q.q_filter_project(spark, SF))
