@@ -123,6 +123,20 @@ def run_pipeline(
     return result
 
 
+def preview(
+    transcripts: DataFrame,
+    reference_orders: DataFrame,
+    crop: tuple = DEFAULT_CROP,
+    n: int = 1,
+) -> list:
+    """The reference's `test_crop` entry point (SURVEY §3.2,
+    ``work_order_extractor.py:1480-1534``): extract the first n turns by
+    deterministic order and collect them for inspection — `limit` +
+    extraction UDF + local collect."""
+    first = transcripts.orderBy("conv_id", "turn_idx").limit(n)
+    return run_pipeline(first, reference_orders, crop=crop, salt=False).collect()
+
+
 def write_partitioned(result: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """Disposition sink: the reference renames/moves files
     (``work_order_extractor.py:1769-1797``); here disposition is a partition
