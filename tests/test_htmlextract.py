@@ -40,3 +40,21 @@ def test_short_blocks_dropped():
 def test_whitespace_canonicalized():
     html = "<p>spaced   out\n\n   words here now indeed truly verily and more</p>"
     assert H.extract_main_text(html) == "spaced out words here now indeed truly verily and more"
+
+
+def test_fast_scanner_matches_htmlparser_on_fixtures():
+    """Differential test: the regex scanner and the stdlib-HTMLParser twin
+    must segment identically on the whole fixture HTML corpus."""
+    import random
+
+    from work_order_pdf_extractor_spark import fixtures
+
+    rng = random.Random(7)
+    pages = [
+        fixtures.build_html_payload(
+            rng, "Work Order No. : 22809891" if i % 3 == 0 else None
+        )
+        for i in range(120)
+    ] + [PAGE, "<p>plain &amp; simple entity test with enough words here</p>"]
+    for pg in pages:
+        assert H.segment_blocks(pg) == H.segment_blocks_htmlparser(pg)

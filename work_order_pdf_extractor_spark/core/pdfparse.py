@@ -200,78 +200,76 @@ def _stream_bytes(body: bytes) -> bytes:
     return raw
 
 
+# master lexer: one compiled regex per token class, matched at position
+# (cProfile showed the original byte-at-a-time loop dominating parse time)
+_SKIP_RE = re.compile(rb"(?:[ \t\r\n]+|%[^\n]*)+")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_NAME_RE = re.compile(rb"/([^ \t\r\n()\[\]<>/%]*)")
+_OP_RE = re.compile(rb"[A-Za-z*'\"]+")
+
+
 def _lex_content(stream: bytes):
     """Yield tokens: ('num', float) | ('str', str) | ('name', str) |
     ('arr', list) | ('op', str)."""
     i, n = 0, len(stream)
     while i < n:
-        c = stream[i : i + 1]
-        if c in b" \t\r\n":
-            i += 1
-        elif c == b"%":  # comment to EOL
-            j = stream.find(b"\n", i)
-            i = n if j == -1 else j + 1
-        elif c == b"(":
+        m = _SKIP_RE.match(stream, i)
+        if m:
+            i = m.end()
+            if i >= n:
+                break
+        c = stream[i]
+        if c == 0x28:  # (
             s, i = _lex_string(stream, i)
             yield ("str", s)
-        elif c == b"/":
-            j = i + 1
-            while j < n and stream[j : j + 1] not in b" \t\r\n()[]<>/%":
-                j += 1
-            yield ("name", stream[i + 1 : j].decode("latin-1"))
-            i = j
-        elif c == b"[":
+            continue
+        if c == 0x5B:  # [
             arr: list = []
             i += 1
-            for tok in _lex_content_array(stream, i):
-                if tok[0] == "end":
-                    i = tok[1]
+            while True:
+                m = _SKIP_RE.match(stream, i)
+                if m:
+                    i = m.end()
+                if i >= n:
+                    raise PdfParseError("unterminated array in content stream")
+                c2 = stream[i]
+                if c2 == 0x5D:  # ]
+                    i += 1
                     break
-                arr.append(tok)
+                if c2 == 0x28:
+                    s, i = _lex_string(stream, i)
+                    arr.append(("str", s))
+                    continue
+                m = _NUM_RE.match(stream, i)
+                if m:
+                    arr.append(("num", float(m.group())))
+                    i = m.end()
+                    continue
+                raise PdfParseError(
+                    f"unexpected byte {stream[i:i + 1]!r} in TJ array"
+                )
             yield ("arr", arr)
-        elif c == b"]":
+            continue
+        if c == 0x5D:
             raise PdfParseError("unbalanced ] in content stream")
-        elif (c.isdigit() or c in b"+-."):
-            j = i + 1
-            while j < n and (stream[j : j + 1].isdigit() or stream[j : j + 1] in b"+-.eE"):
-                j += 1
-            try:
-                yield ("num", float(stream[i:j]))
-            except ValueError as e:
-                raise PdfParseError(f"bad number {stream[i:j]!r}") from e
-            i = j
-        else:
-            j = i
-            while j < n and (stream[j : j + 1].isalpha() or stream[j : j + 1] in b"*'\""):
-                j += 1
-            if j == i:
-                raise PdfParseError(f"unexpected byte {c!r} in content stream")
-            yield ("op", stream[i:j].decode("latin-1"))
-            i = j
-
-
-def _lex_content_array(stream: bytes, i: int):
-    """Lex inside ``[ ... ]`` (strings and numbers only in our subset)."""
-    n = len(stream)
-    while i < n:
-        c = stream[i : i + 1]
-        if c in b" \t\r\n":
-            i += 1
-        elif c == b"]":
-            yield ("end", i + 1)
-            return
-        elif c == b"(":
-            s, i = _lex_string(stream, i)
-            yield ("str", s)
-        elif c.isdigit() or c in b"+-.":
-            j = i + 1
-            while j < n and (stream[j : j + 1].isdigit() or stream[j : j + 1] in b"+-."):
-                j += 1
-            yield ("num", float(stream[i:j]))
-            i = j
-        else:
-            raise PdfParseError(f"unexpected byte {c!r} in TJ array")
-    raise PdfParseError("unterminated array in content stream")
+        m = _NAME_RE.match(stream, i)
+        if m:
+            yield ("name", m.group(1).decode("latin-1"))
+            i = m.end()
+            continue
+        m = _NUM_RE.match(stream, i)
+        if m:
+            yield ("num", float(m.group()))
+            i = m.end()
+            continue
+        m = _OP_RE.match(stream, i)
+        if m:
+            yield ("op", m.group().decode("latin-1"))
+            i = m.end()
+            continue
+        raise PdfParseError(
+            f"unexpected byte {stream[i:i + 1]!r} in content stream"
+        )
 
 
 _ESCAPES = {
@@ -280,15 +278,25 @@ _ESCAPES = {
 }
 
 
+_PLAIN_RUN_RE = re.compile(rb"[^\\()]+")
+
+
 def _lex_string(stream: bytes, i: int) -> tuple[str, int]:
     """Parse a PDF literal string starting at ``(``; supports nesting,
-    backslash escapes, and octal escapes."""
+    backslash escapes, and octal escapes. Plain character runs are consumed
+    with one regex match instead of byte-at-a-time."""
     assert stream[i : i + 1] == b"("
     i += 1
     depth = 1
     out: list[str] = []
     n = len(stream)
     while i < n:
+        m = _PLAIN_RUN_RE.match(stream, i)
+        if m:
+            out.append(m.group().decode("latin-1"))
+            i = m.end()
+            if i >= n:
+                break
         c = stream[i : i + 1]
         if c == b"\\":
             nxt = stream[i + 1 : i + 2]
@@ -312,9 +320,6 @@ def _lex_string(stream: bytes, i: int) -> tuple[str, int]:
             if depth == 0:
                 return "".join(out), i + 1
             out.append(")")
-            i += 1
-        else:
-            out.append(c.decode("latin-1"))
             i += 1
     raise PdfParseError("unterminated string in content stream")
 
