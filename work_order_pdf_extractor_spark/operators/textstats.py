@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import stable_hash64
+from .dedup import ensure_parallelism, stable_hash64
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -19,7 +19,7 @@ def langid_scores(
 ) -> DataFrame:
     """Stopword-ratio language heuristic (n-gram-heuristic family): a doc
     whose stopword ratio clears the threshold is labeled 'en'."""
-    words = df.select(
+    words = ensure_parallelism(df.select(id_col, F.col(text_col))).select(
         id_col, F.explode(F.split(text_col, " ")).alias("w")
     ).filter(F.col("w") != "")
     agg = words.groupBy(id_col).agg(

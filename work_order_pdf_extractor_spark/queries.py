@@ -951,10 +951,13 @@ N_MINHASH = 8
 LSH_BANDS = 4  # 2 rows per band
 
 
-def _mh_hash_sql(expr: str, seed: int) -> str:
-    return (
-        f"CAST(CONCAT('0x', substr(md5('{seed}#' || {expr}), 1, 8)) AS BIGINT)"
-    )
+def _mh_hash_sql(expr: str, i: int) -> str:
+    """Affine MinHash family over one md5-derived base hash — must stay in
+    lockstep with operators/dedup.py MH_A/MH_B/MH_P."""
+    from .operators.dedup import MH_A, MH_B, MH_P
+
+    base = f"CAST(CONCAT('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+    return f"(({MH_A(i)} * {base} + {MH_B(i)}) % {MH_P})"
 
 
 def q_minhash_signatures(spark, sf_dir):
