@@ -97,7 +97,7 @@ def run_default() -> None:
     n_turns = t.count()
     _force(pipeline.run_pipeline(t, ref))
     ext_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: the sandbox VM has noisy neighbors
         t0 = time.perf_counter()
         _force(pipeline.run_pipeline(t, ref))
         ext_sec = min(ext_sec, time.perf_counter() - t0)
@@ -145,11 +145,14 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
         t = t0
     ref = spark.createDataFrame(fixtures.gen_reference_orders())
     n_turns = t.count()
-    # warm-up pass: JIT + python worker startup out of the measurement
+    # warm-up pass: JIT + python worker startup out of the measurement;
+    # then best-of-3 against sandbox VM noise
     _force(pipeline.run_pipeline(t, ref))
-    t0 = time.perf_counter()
-    _force(pipeline.run_pipeline(t, ref))
-    sec = time.perf_counter() - t0
+    sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(pipeline.run_pipeline(t, ref))
+        sec = min(sec, time.perf_counter() - t0)
     print(
         json.dumps(
             {
