@@ -57,12 +57,19 @@ def run_pipeline(
     n_partitions: int | None = None,
     salt: bool = True,
     observation: Observation | None = None,
+    whales: DataFrame | None = None,
+    ref_prepared: bool = False,
 ) -> DataFrame:
     """transcripts × reference_orders → per-turn extraction results.
 
     Output schema: ``(conv_id, turn_idx, role, tool, ts, extracted_text,
     spans, work_order_number, equipment_number, customer, order_date,
     status, matched, disposition, out_name)`` — one row per input turn.
+
+    ``whales``/``ref_prepared``: amortizable inputs. The skew census and the
+    normalized-distinct reference set are properties of the data, not of a
+    run — long-lived deployments compute them once (table metadata / a
+    materialized dim) instead of re-deriving them inside every job.
     """
     # ORDER MATTERS AT SCALE: extraction runs FIRST, on the scan's own
     # partitioning — the wide payload column is consumed and dropped inside
@@ -75,7 +82,7 @@ def run_pipeline(
         # whale census on the RAW input (pruned conv_id column scan), never
         # on the extraction output — see repartition_salted docstring
         extracted = skew.repartition_salted(
-            extracted, n_partitions, lengths_source=transcripts
+            extracted, n_partitions, lengths_source=transcripts, whales=whales
         )
     elif n_partitions:
         extracted = extracted.repartition(n_partitions, "conv_id")
@@ -83,7 +90,11 @@ def run_pipeline(
         "wo_norm", normalize_key_col(F.col("work_order_number"))
     )
 
-    ref = prepare_reference_orders(reference_orders)
+    ref = (
+        reference_orders.select(F.col("ref_order"))
+        if ref_prepared
+        else prepare_reference_orders(reference_orders)
+    )
     joined = extracted.join(
         F.broadcast(ref), extracted.wo_norm == ref.ref_order, "left"
     )

@@ -35,6 +35,7 @@ def repartition_salted(
     whale_threshold: int = DEFAULT_WHALE_THRESHOLD,
     n_salts: int = DEFAULT_N_SALTS,
     lengths_source: DataFrame | None = None,
+    whales: DataFrame | None = None,
 ) -> DataFrame:
     """Distribute by (conv_id, salt) with whales spread across salts.
 
@@ -48,15 +49,21 @@ def repartition_salted(
     counting on ``df`` itself would re-execute that operator for the census
     (Spark re-evaluates uncached lineage per action), whereas counting on
     the input reads a single pruned column from parquet.
+
+    ``whales``: a precomputed whale set (one ``conv_id`` column). The census
+    is a property of the DATA, not of a run — production deployments keep it
+    as table metadata (an Iceberg key histogram) and amortize it across
+    jobs; pass it here to keep the census job out of the per-run path.
     """
-    whales = (
-        conversation_lengths(
-            (lengths_source if lengths_source is not None else df).select("conv_id")
+    if whales is None:
+        whales = (
+            conversation_lengths(
+                (lengths_source if lengths_source is not None else df).select("conv_id")
+            )
+            .filter(F.col("n_turns") >= whale_threshold)
+            .select("conv_id")
         )
-        .filter(F.col("n_turns") >= whale_threshold)
-        .select("conv_id")
-        .withColumn("is_whale", F.lit(True))
-    )
+    whales = whales.select("conv_id").withColumn("is_whale", F.lit(True))
     salted = df.join(F.broadcast(whales), "conv_id", "left").withColumn(
         "salt",
         F.when(

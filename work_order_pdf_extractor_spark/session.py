@@ -34,7 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # larger Arrow batches amortize per-batch JVM↔Python overhead;
+        # measured ~2x on the extraction pipeline vs the 2048 default
+        # (10k rows × ~2 KB payload ≈ 20 MB in flight per worker)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # keep the Python worker pool stable: forks are expensive and
         # serialized in this sandbox (~0.7 s each), so never reap idle
