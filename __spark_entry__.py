@@ -21,13 +21,23 @@ def entry(spark: SparkSession) -> DataFrame:
     from work_order_pdf_extractor_spark import fixtures
     from work_order_pdf_extractor_spark.plans import pipeline
 
+    import random
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # a deterministic PDF payload (seeded builder) so the flagship exercises
+    # the content-stream tokenizer + bbox filter, not just the plain path
+    pdf_b64 = fixtures.build_pdf_payload(
+        random.Random(42), "22809891", "EQ-7", "Northwind Traders",
+        "2026-03-01", n_items=2, multi_page=False, malformed=None,
+        compress=True,
+    )
+    is_pdf = F.pmod(F.col("doc_id"), F.lit(10)) == 0
     transcripts = docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit("").alias("tool"),
+        F.when(is_pdf, F.lit(pdf_b64)).otherwise(F.col("text")).alias("text"),
+        F.when(is_pdf, F.lit("pdf_reader")).otherwise(F.lit("")).alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
     ref = spark.createDataFrame(fixtures.gen_reference_orders())
