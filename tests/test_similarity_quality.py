@@ -1,0 +1,72 @@
+"""Structural/quality checks for the ANN operators: the approximate paths
+must agree with brute force wherever they return a pair, and achieve
+non-trivial recall within their candidate sets."""
+
+from __future__ import annotations
+
+import pytest
+
+from work_order_pdf_extractor_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def brute(spark, emb):
+    df = S.cosine_topk(emb, k=3).toPandas()
+    return {(r.qid, r.nid): r.sim for r in df.itertuples()}
+
+
+def _sims_agree(approx_df, emb, spark):
+    """Every (q, n, sim) an approximate method reports must equal the
+    exact cosine for that pair."""
+    full = S.cosine_topk(emb, k=10**6).toPandas()
+    exact = {(r.qid, r.nid): r.sim for r in full.itertuples()}
+    for r in approx_df.itertuples():
+        assert exact[(r.qid, r.nid)] == pytest.approx(r.sim, abs=1e-4)
+
+
+def test_ivf_sims_match_exact(spark, emb):
+    approx = S.ivf_topk(emb, k=3, n_centroids=8).toPandas()
+    assert len(approx) > 0
+    _sims_agree(approx, emb, spark)
+
+
+def test_lsh_pairs_share_bucket(spark, emb):
+    buckets = {
+        r.vec_id: r.bucket
+        for r in S.hyperplane_lsh_buckets(emb).toPandas().itertuples()
+    }
+    approx = S.lsh_topk(emb, k=3).toPandas()
+    assert len(approx) > 0
+    for r in approx.itertuples():
+        assert buckets[r.qid] == buckets[r.nid]
+
+
+def test_ivf_recall_within_cells(spark, emb, brute):
+    """For queries whose true top-1 neighbor landed in the same IVF cell,
+    IVF must return it as rank 1 (the approximation loses only cross-cell
+    neighbors, never intra-cell ranking)."""
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in S.ivf_assign(emb, 8).toPandas().itertuples()
+    }
+    ivf = S.ivf_topk(emb, k=1, n_centroids=8).toPandas()
+    ivf_top1 = {r.qid: r.nid for r in ivf.itertuples()}
+    true_top1 = {}
+    for (q, n), sim in brute.items():
+        if q not in true_top1:
+            true_top1[q] = (n, sim)
+        elif sim > true_top1[q][1] or (sim == true_top1[q][1] and n < true_top1[q][0]):
+            true_top1[q] = (n, sim)
+    checked = 0
+    for q, (n, _sim) in true_top1.items():
+        if assign.get(q) == assign.get(n):
+            assert ivf_top1.get(q) == n, (q, n, ivf_top1.get(q))
+            checked += 1
+    assert checked > 10, "fixture degenerated: no intra-cell true neighbors"

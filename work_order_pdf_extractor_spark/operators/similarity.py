@@ -100,6 +100,70 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are the first ``n_centroids`` vectors by id — a deterministic
+    stand-in for a k-means fit (at scale you'd train centroids on a sample
+    once and broadcast them; the assignment join below is the part that
+    must scale, and it is a broadcast cross-join against n_centroids rows,
+    i.e. O(rows × centroids), never O(rows²)).
+    Output: (id_col, centroid_id, centroid_sim)."""
+    cents = df.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    v = df.select(id_col, F.col(vec_col).alias("vv"))
+    sim = F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 4)
+    scored = v.join(F.broadcast(cents)).select(
+        id_col, "centroid_id", sim.alias("centroid_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "centroid_sim")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine WITHIN each IVF cell (nprobe=1).
+    The cluster-scale shape: assignment is linear, search is quadratic only
+    within a cell (rows/centroids each). Output: (qid, nid, sim, rank)."""
+    assign = ivf_assign(df, n_centroids, id_col, vec_col)
+    withc = df.join(assign.select(id_col, "centroid_id"), id_col)
+    a = withc.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    c = withc.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "centroid_id"
+    )
+    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
+    pairs = (
+        a.join(c, "centroid_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 5,

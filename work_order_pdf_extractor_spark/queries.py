@@ -1192,6 +1192,62 @@ WHERE rank <= 3
 """
 
 
+_SQL_IVF_ASSIGN_CTE = """
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 8),
+v AS (SELECT vec_id, embedding AS vv FROM embeddings),
+scored AS (
+  SELECT vec_id, centroid_id,
+         ROUND(list_dot_product(vv::DOUBLE[], cv::DOUBLE[]) /
+               (sqrt(list_dot_product(vv::DOUBLE[], vv::DOUBLE[])) *
+                sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 4) AS centroid_sim
+  FROM v, cents),
+assigned AS (
+  SELECT vec_id, centroid_id, centroid_sim FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY centroid_sim DESC, centroid_id) = 1)
+"""
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment (broadcast
+    cross-join vs n_centroids rows — the linear half of IVF ANN)."""
+    from .operators import similarity
+
+    return similarity.ivf_assign(ld(spark, sf_dir, "embeddings"), 8)
+
+
+SQL_IVF_ASSIGN = f"WITH {_SQL_IVF_ASSIGN_CTE} SELECT vec_id, centroid_id, centroid_sim FROM assigned"
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: brute-force cosine within each IVF cell (nprobe=1) — the
+    second scale path beside hyperplane LSH."""
+    from .operators import similarity
+
+    return similarity.ivf_topk(ld(spark, sf_dir, "embeddings"), k=3, n_centroids=8)
+
+
+SQL_IVF_TOPK = f"""
+WITH {_SQL_IVF_ASSIGN_CTE},
+withc AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+pairs AS (
+  SELECT a.vec_id AS qid, c.vec_id AS nid,
+         ROUND(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS sim
+  FROM withc a JOIN withc c
+    ON a.centroid_id = c.centroid_id AND a.vec_id <> c.vec_id)
+SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
 # ===========================================================================
 # Text analysis (documents)
 # ===========================================================================
@@ -1350,6 +1406,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     # text analysis / multimodal
     "langid": (q_langid, SQL_LANGID),
     "quality_score": (q_quality_score, SQL_QUALITY),
