@@ -64,6 +64,19 @@ def exact_duplicates(
     )
 
 
+def deduplicate_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduped corpus: keep exactly the keeper row of each
+    exact-duplicate group (smallest id). Two shuffles on a 32-char hash —
+    at 100 TB the semi-join back is a broadcast-free shuffle join on the
+    hash, never on text."""
+    keepers = exact_duplicates(df, text_col, id_col).select(
+        F.col(f"keeper_{id_col}").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

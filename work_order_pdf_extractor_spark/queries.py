@@ -510,6 +510,50 @@ FROM customer c FULL OUTER JOIN
 # Windows / ordering / limits (W1-W4)
 # ===========================================================================
 
+def q_window_tumbling(spark, sf_dir):
+    """Event-time tumbling window aggregate (streaming-adjacent shape,
+    SURVEY §2.8): 15-minute buckets of event counts + value sums — in
+    Structured Streaming the identical expression runs under a watermark."""
+    ev = ld(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _spark_dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLING = f"""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_start, event_type,
+       COUNT(*) AS n, {_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dedup_materialize(spark, sf_dir):
+    """Materialized exact dedup: the corpus with one keeper per duplicate
+    group (hash semi-join back — never joins text)."""
+    from .operators import dedup
+
+    return dedup.deduplicate_exact(ld(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_MATERIALIZE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
 def q_first_per_user(spark, sf_dir):
     """W1: first-page-per-document analog — first event per user (:1125)."""
     ev = ld(spark, sf_dir, "events")
@@ -1375,6 +1419,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
     # windows / ordering
     "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
     "lag_gap": (q_lag_gap, SQL_LAG_GAP),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
@@ -1397,6 +1442,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "page_split": (q_page_split, SQL_PAGE_SPLIT),
     # dedup family
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
