@@ -72,5 +72,4 @@ def test_udtf_variant_matches_explode(spark):
     b = split_pdf_pages_udtf(df).toPandas().sort_values(
         ["turn_idx", "page_no"], ignore_index=True
     )
-    b = b[a.columns].astype({"page_no": a.page_no.dtype})
-    assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a.shape, b.shape))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
