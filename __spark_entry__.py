@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship extraction pipeline; ``queries``/``oracle_sql``
-expose the SURVEY §2 operator inventory (54 queries, 53 DuckDB-oracled) from
+expose the SURVEY §2 operator inventory (56 queries, 55 DuckDB-oracled) from
 ``work_order_pdf_extractor_spark.queries.REGISTRY``.
 """
 
