@@ -1,7 +1,9 @@
-"""Multimodal plumbing: binary payload schema, Arrow batch path, stubbed
-decode with deterministic fake, frame-sample fan-out."""
+"""Multimodal: real stdlib BMP/PPM/WAV decode, binary payload schema,
+Arrow batch path, frame-sample fan-out."""
 
 from __future__ import annotations
+
+import hashlib
 
 import pytest
 
@@ -11,7 +13,7 @@ from work_order_pdf_extractor_spark.operators import multimodal as M
 @pytest.fixture(scope="module")
 def media_df(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    return M.media_from_documents(docs)
+    return M.media_bmp_from_documents(docs)
 
 
 def test_media_schema(media_df):
@@ -21,35 +23,82 @@ def test_media_schema(media_df):
     assert media_df.schema["payload"].dataType.typeName() == "binary"
 
 
-def test_real_decode_is_stubbed():
+def test_bmp_roundtrip_exact():
+    """decode(build(img)) recovers dims and every pixel's luma, including
+    non-multiple-of-4 widths (row padding) and bottom-up order."""
+    for w, h in [(1, 1), (3, 2), (5, 7), (8, 4)]:
+        px = lambda x, y: ((x * 50) % 256, (y * 80) % 256, (x + y) % 256)
+        d = M.decode_image(M.build_bmp(w, h, px))
+        assert (d["width"], d["height"], d["n_px"]) == (w, h, w * h)
+        expect = sum(
+            M._luma(*px(x, y)) for x in range(w) for y in range(h)
+        )
+        assert d["sum_luma"] == expect
+
+
+def test_ppm_matches_bmp_features():
+    px = lambda x, y: ((x + 3 * y + 7) % 256,) * 3
+    bmp = M.decode_image(M.build_bmp(6, 5, px))
+    ppm = M.decode_image(M.build_ppm(6, 5, px))
+    for k in ("width", "height", "n_px", "sum_luma", "mean_luma", "embedding"):
+        assert bmp[k] == ppm[k], k
+
+
+def test_wav_roundtrip_exact():
+    samples = [0, 100, -100, 32767, -32768, 5]
+    d = M.decode_audio(M.build_wav(samples, sample_rate=16000))
+    assert d["channels"] == 1
+    assert d["sample_rate"] == 16000
+    assert d["n_samples"] == len(samples)
+    assert d["sum_abs"] == sum(abs(s) for s in samples)
+    assert d["peak"] == 32768
+    assert d["sha256"] == hashlib.sha256(
+        M.build_wav(samples, sample_rate=16000)
+    ).hexdigest()
+
+
+def test_compressed_codecs_are_the_stub_boundary():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"bytes", fake=False)
-
-
-def test_fake_decode_deterministic():
-    a = M.decode_image(b"same bytes", fake=True)
-    b = M.decode_image(b"same bytes", fake=True)
-    assert a == b
-    assert len(a["embedding"]) == 16
+        M.decode_image(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x03rest")
 
 
 def test_image_features_distributed_match_local(spark, media_df):
-    feats = M.image_features(media_df, fake=True).toPandas()
+    feats = M.image_features(media_df).toPandas()
     rows = media_df.select("media_id", "payload").toPandas()
     assert len(feats) == len(rows)
     local = {
-        int(r.media_id): M.decode_image(bytes(r.payload), fake=True)
+        int(r.media_id): M.decode_image(bytes(r.payload))
         for r in rows.itertuples()
     }
     for r in feats.itertuples():
         exp = local[int(r.media_id)]
         assert r.sha256 == exp["sha256"]
         assert (r.width, r.height) == (exp["width"], exp["height"])
+        assert (r.n_px, r.sum_luma) == (exp["n_px"], exp["sum_luma"])
         assert list(r.embedding) == pytest.approx(exp["embedding"], abs=1e-6)
 
 
+def test_audio_features_distributed_match_local(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wav = M.media_wav_from_documents(docs)
+    feats = M.audio_features(wav).toPandas()
+    rows = wav.select("media_id", "payload").toPandas()
+    local = {
+        int(r.media_id): M.decode_audio(bytes(r.payload))
+        for r in rows.itertuples()
+    }
+    assert len(feats) == len(rows)
+    for r in feats.itertuples():
+        exp = local[int(r.media_id)]
+        assert (r.n_samples, r.sum_abs, r.peak) == (
+            exp["n_samples"], exp["sum_abs"], exp["peak"],
+        )
+
+
 def test_payload_dropped_from_features(spark, media_df):
-    feats = M.image_features(media_df, fake=True)
+    feats = M.image_features(media_df)
     assert "payload" not in feats.columns
 
 

@@ -73,15 +73,56 @@ def test_spans_equality(golden_pd, result_pd):
 
 
 def test_out_name_noequip_rule(result_pd):
-    has_wo = result_pd[result_pd.work_order_number.notna()]
+    # rename-on-match only: the reference renames matched files and moves
+    # unmatched ones under their original name (work_order_extractor.py
+    # :1769-1797) — unmatched rows must keep out_name null
+    renamed = result_pd[result_pd.work_order_number.notna() & result_pd.matched]
+    assert len(renamed) > 0
     assert (
-        has_wo.apply(
+        renamed.apply(
             lambda r: r.out_name
             == f"CS-{r.work_order_number}-{r.equipment_number or 'NoEquip'}.pdf",
             axis=1,
         )
     ).all()
-    assert result_pd[result_pd.work_order_number.isna()].out_name.isna().all()
+    not_renamed = result_pd[
+        result_pd.work_order_number.isna() | ~result_pd.matched
+    ]
+    assert not_renamed.out_name.isna().all()
+
+
+def test_normalize_key_col_matches_python_and_survives_ansi(spark):
+    """Spark/Python key normalization must agree on every input, and the
+    Spark side must be total under ANSI mode — a 25-digit key used to throw
+    CAST_INVALID_INPUT through cast('long') and abort the job."""
+    from work_order_pdf_extractor_spark.core.textnorm import normalize_key
+
+    cases = [
+        "0012", "9" * 25, "0" * 7, " 42 ", "EQ-1", "", "  ",
+        "١٢٣",  # unicode digits: NOT normalized (ASCII-only rule)
+        "²", "00100", "22809891", "022809891",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [
+        r.n
+        for r in df.select(
+            pipeline.normalize_key_col(F.col("v")).alias("n")
+        ).collect()
+    ]
+    assert got == [normalize_key(c) for c in cases]
+
+
+def test_dual_probe_matches_reference_semantics(spark, ref_orders_df):
+    """The reference probes raw-then-int against the RAW CSV set: an
+    unpadded extracted key must NOT match a zero-padded-only ref key, but
+    a padded extracted key MUST match an unpadded ref key (via the int
+    probe). prepare_reference_orders therefore keeps keys raw."""
+    ref = spark.createDataFrame([("022809891",), ("555",)], ["Order"])
+    prepared = {
+        r.ref_order
+        for r in pipeline.prepare_reference_orders(ref).collect()
+    }
+    assert prepared == {"022809891", "555"}  # raw, not normalized
 
 
 def test_observe_metrics_match_oracle(transcripts_df, ref_orders_df, golden_pd):

@@ -104,6 +104,27 @@ def test_aggregate_is_partial_then_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_lsh_buckets_plan_is_narrow(spark):
+    """The round-1 scale-killer: hyperplane LSH bucketing must be ONE
+    narrow pass — no explode (dims×planes row blow-up) and no shuffle.
+    At 1024-dim × 10^9 rows the old exploded plan was an 8192× row
+    multiplication feeding two exchanges."""
+    plan = _plan(Q.q_ann_lsh_buckets(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # Generate = explode/posexplode
+
+
+def test_pipeline_dual_probe_joins_are_broadcast(spark, transcripts_df, ref_orders_df):
+    """Both arms of the reference's str/int dual probe must be broadcast
+    HASH joins — an OR-of-equalities condition would silently degrade to
+    BroadcastNestedLoopJoin (per-row scans of the build side)."""
+    plan = _plan(pipeline.run_pipeline(transcripts_df, ref_orders_df))
+    # 2 probe joins + 1 whale-census join from the salted repartition
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -18,14 +18,14 @@ def emb(spark):
 
 @pytest.fixture(scope="module")
 def brute(spark, emb):
-    df = S.cosine_topk(emb, k=3).toPandas()
+    df = S.cosine_topk(emb, k=3, allow_full_scan=True).toPandas()
     return {(r.qid, r.nid): r.sim for r in df.itertuples()}
 
 
 def _sims_agree(approx_df, emb, spark):
     """Every (q, n, sim) an approximate method reports must equal the
     exact cosine for that pair."""
-    full = S.cosine_topk(emb, k=10**6).toPandas()
+    full = S.cosine_topk(emb, k=10**6, allow_full_scan=True).toPandas()
     exact = {(r.qid, r.nid): r.sim for r in full.itertuples()}
     for r in approx_df.itertuples():
         assert exact[(r.qid, r.nid)] == pytest.approx(r.sim, abs=1e-4)

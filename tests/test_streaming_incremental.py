@@ -52,6 +52,32 @@ def test_checkpoint_resume_skips_processed(spark, input_dir, ref_orders_df, gold
     assert n1 == n2 == len(golden_pd)
 
 
+def test_replayed_batch_is_idempotent(spark, input_dir, ref_orders_df, golden_pd, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash AFTER the parquet
+    write but BEFORE the checkpoint commit by deleting the newest commit
+    file — the rerun replays that micro-batch with the same batch_id, and
+    the dynamic-partition-overwrite sink must not duplicate rows."""
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    incremental.run_incremental(
+        spark, input_dir, ref_orders_df, out, ckpt, max_files_per_batch=1
+    )
+    n1 = len(spark.read.parquet(out).toPandas())
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    incremental.run_incremental(
+        spark, input_dir, ref_orders_df, out, ckpt, max_files_per_batch=1
+    )
+    n2 = len(spark.read.parquet(out).toPandas())
+    assert n1 == n2 == len(golden_pd)
+
+
 def test_new_arrivals_only_are_processed(spark, input_dir, ref_orders_df, tiny_transcripts_pd, tmp_path):
     out = str(tmp_path / "out3")
     ckpt = str(tmp_path / "ckpt3")

@@ -26,8 +26,14 @@ import zlib
 # region-containment is self-consistent).
 CHAR_WIDTH_FACTOR = 0.5
 
-# The reference's default crop box, as (x1, y1, x2, y2) fractions of the page
-# in IMAGE space (origin top-left): work_order_extractor.py:65-68.
+# Crop box as (x1, y1, x2, y2) fractions of the page in IMAGE space (origin
+# top-left). The reference's DEFAULT is the top-left SIXTEENTH — crop_x2=0.25,
+# crop_y2=0.25 (work_order_extractor.py:65-68) — and is user-configurable via
+# its crop dialog (:1378-1388). This engine's default DELIBERATELY differs:
+# the top-left QUARTER, a superset of the reference default, because the
+# synthetic transcript fixtures place header fields across that band. Pass
+# crop=(0, 0, 0.25, 0.25) to run_pipeline/extract_turns for the reference's
+# exact default; the semantics of the predicate are identical at any box.
 DEFAULT_CROP = (0.0, 0.0, 0.5, 0.5)
 
 

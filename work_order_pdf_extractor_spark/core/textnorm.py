@@ -9,6 +9,10 @@ the oracle and the Spark UDFs — they cannot diverge.
 
 from __future__ import annotations
 
+import re
+
+_ASCII_DIGITS = re.compile(r"[0-9]+")
+
 # Tokens whose baselines differ by less than this many PDF units are treated
 # as the same text line (rasterized text rarely aligns exactly).
 LINE_Y_TOLERANCE = 2.0
@@ -76,17 +80,20 @@ def normalize_plain_text(text: str) -> str:
 
 
 def normalize_key(value: str | None) -> str | None:
-    """Normalize an extracted key the way the reference's dual probe does.
+    """Normalize an extracted key for the reference's int probe
+    (``work_order_extractor.py:1752-1767``, the ``str(int(wo))`` arm):
+    strip whitespace; if ASCII-digits-only, drop leading zeros (keep one).
 
-    The reference tries ``str(wo)`` then ``str(int(wo))`` against its set
-    (``work_order_extractor.py:1752-1767``). Equivalent single normalization:
-    strip whitespace; if all digits, drop leading zeros (but keep one digit).
+    ASCII-only by design — ``str.isdigit()`` accepts unicode digits that
+    the Spark twin's ``rlike('^[0-9]+$')`` rejects, and ``int()`` is
+    unbounded where an ANSI ``cast('long')`` overflows; both sides now use
+    the same regex + zero-strip so engine and oracle agree on every input.
     """
     if value is None:
         return None
     v = value.strip()
     if not v:
         return None
-    if v.isdigit():
-        return str(int(v))
+    if _ASCII_DIGITS.fullmatch(v):
+        return v.lstrip("0") or "0"
     return v

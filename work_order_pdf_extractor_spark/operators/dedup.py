@@ -30,16 +30,24 @@ def MH_B(i: int) -> int:
     return 12345 + 789 * i
 
 
+FANOUT_ENABLED = True
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Fan a narrow input out to cluster parallelism before explode-heavy
     work. A single small parquet file scans as 1 task, and everything
     downstream of an explode inherits that parallelism until the first
-    shuffle; at real scale (file count ≫ cores) this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    shuffle. The repartition is unconditional (behind ``FANOUT_ENABLED``)
+    rather than probing ``df.rdd.getNumPartitions()`` — the probe forces a
+    driver-side conversion of the analyzed plan on every call. What it
+    shuffles is the pre-explode rows (id + text), one round-robin pass; at
+    real scale, where the scan is already wider than the cluster, set
+    ``FANOUT_ENABLED = False`` and the operators run shuffle-free up to
+    their aggregation."""
+    if not FANOUT_ENABLED:
+        return df
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def stable_hash64(col: F.Column, seed: int | None = None) -> F.Column:
@@ -100,24 +108,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via shingle self-join.
+    """n-gram Jaccard ≥ threshold — the VERIFICATION stage of a dedup
+    pipeline.
 
-    Exact but quadratic in the worst case — the VERIFICATION stage of a
-    dedup pipeline. At scale, run :func:`minhash_lsh_pairs` first and feed
-    only candidate pairs here (LSH prunes the cross product)."""
+    With ``candidates=None``: all-pairs via shingle self-join — exact but
+    quadratic in the worst case, right only for small corpora or golden
+    checks. With ``candidates`` (a ``(doc1, doc2)`` DataFrame, e.g. from
+    :func:`minhash_lsh_pairs`): Jaccard is computed ONLY for those pairs —
+    cost is Σ|shingles(doc1)| over candidate pairs, joined back on
+    ``(doc2, shingle)``; never a shingle cross product. This is the 100 TB
+    path (LSH prunes, Jaccard verifies)."""
     sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc1"),
-            F.col(f"b.{id_col}").alias("doc2"),
+    if candidates is not None:
+        c = candidates.select("doc1", "doc2")
+        s1 = sh.select(F.col(id_col).alias("doc1"), "shingle")
+        s2 = sh.select(F.col(id_col).alias("doc2"), "shingle")
+        common = (
+            c.join(s1, "doc1")
+            .join(s2, ["doc2", "shingle"])
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc1"),
+                F.col(f"b.{id_col}").alias("doc2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
     return (
@@ -279,3 +304,35 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def deduplicate_near(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup dedup — the query a training-data user actually
+    runs. Three stages, each linear-ish at 100 TB:
+
+    1. CANDIDATES: :func:`minhash_lsh_pairs` — banded LSH join on band
+       hashes (constant-size signatures; never an all-pairs join).
+    2. VERIFY: :func:`ngram_jaccard_pairs` restricted to the candidates —
+       exact Jaccard only where LSH says "maybe".
+    3. KEEP: greedy keeper rule — drop every doc that is the larger id of
+       a verified pair (``doc2``); keep the rest. Under a chain a~b~c this
+       keeps only ``a`` — the standard greedy canonicalization. (Exact
+       duplicate-cluster semantics would need iterative min-id propagation
+       / connected components; greedy is one anti-join, deterministic, and
+       what production dedup pipelines ship.)
+
+    Returns the deduped corpus with the original schema."""
+    cand = minhash_lsh_pairs(df, n_hashes, bands, n, text_col, id_col)
+    verified = ngram_jaccard_pairs(
+        df, n, threshold, text_col, id_col, candidates=cand
+    )
+    dupes = verified.select(F.col("doc2").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")

@@ -1,18 +1,31 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads, typed metadata, REAL decode.
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signatures, partition behavior — is real and tested; the
-actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_image``/``extract_audio_features`` raise
-``NotImplementedError`` unless given the deterministic-fake flag, which
-produces seeded, reproducible pseudo-features derived from the payload
-bytes so the distributed path can be exercised end-to-end.
+metadata struct and decoded inside Arrow-batched ``mapInPandas`` passes —
+the payload is consumed on the scan side and never shuffles (same rule as
+the text pipeline). Mirrors the role of the reference's payload→pixels
+boundary (``work_order_extractor.py:1121-1146`` pdf2image render).
+
+Decoders are stdlib-only and cover exactly the formats the builders emit
+(the same EMIT==PARSE philosophy as ``core/pdfparse.py``):
+
+- image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded) and binary
+  P6 PPM. Compressed codecs (JPEG/PNG) need libjpeg/Pillow, absent in this
+  container — they raise :class:`NotImplementedError`, the one documented
+  stub boundary left in this module.
+- audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
+- video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
+  decode would be the image path above).
+
+Features are integer-exact where the DuckDB oracle checks them
+(width/height/n_px/sum_luma; n_samples/sum_abs/peak) so the driver's
+value-hash compare is never at the mercy of float rounding.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,67 +49,238 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("sum_luma", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
 
-def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real decode needs Pillow/libjpeg, absent in this container.
 
-    With ``fake=True`` returns deterministic pseudo-metadata derived from a
-    sha256 of the payload — stable across runs/partitions, so the Spark
-    plumbing is fully testable. Mirrors the role of the reference's
-    ``pdf_to_image_full`` (work_order_extractor.py:1121-1146) as the
-    payload→pixels boundary.
-    """
-    if not fake:
+# ---------------------------------------------------------------------------
+# Builders (the subset the decoders parse is exactly the subset these emit)
+# ---------------------------------------------------------------------------
+
+def build_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize a 24-bit uncompressed (BI_RGB) bottom-up BMP.
+
+    ``pixel_fn(x, y) -> (r, g, b)`` with (0, 0) the TOP-left pixel (the
+    builder handles BMP's bottom-up row order and 4-byte row padding)."""
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    pixel_data = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return header + dib + pixel_data
+
+
+def build_ppm(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize a binary P6 PPM (maxval 255), row-major top-down."""
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            body += bytes(pixel_fn(x, y))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
+
+
+def build_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Serialize PCM16 mono RIFF/WAVE."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Decoders (stdlib-only)
+# ---------------------------------------------------------------------------
+
+def _luma(r: int, g: int, b: int) -> int:
+    """Integer BT.601 luma — exact, so sums are cross-engine-checkable."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    _, _size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (
+        dib_size, width, height, _planes, bpp, compression,
+        *_rest,
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if dib_size < 40 or bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decoding requires Pillow; run with fake=True for the "
-            "deterministic test double"
+            "only uncompressed 24-bit BI_RGB BMP is supported"
         )
-    h = hashlib.sha256(payload).digest()
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    lumas = [0] * (width * height)
+    for row in range(height):
+        y = (height - 1 - row) if bottom_up else row  # to top-down
+        base = offset + row * row_stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            lumas[y * width + x] = _luma(r, g, b)
+    return width, height, lumas
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, list[int]]:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace before the raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 P6 PPM is supported")
+    lumas = [0] * (width * height)
+    for i in range(width * height):
+        r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
+        lumas[i] = _luma(r, g, b)
+    return width, height, lumas
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode a BMP or P6 PPM payload into exact features.
+
+    ``sum_luma``/``n_px`` are integers (oracle-exact); ``mean_luma`` and the
+    16-dim 4×4 block-mean ``embedding`` are the float conveniences derived
+    from them. Compressed codecs are the documented stub boundary."""
+    if payload[:2] == b"BM":
+        width, height, lumas = _decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        width, height, lumas = _decode_ppm(payload)
+    else:
+        raise NotImplementedError(
+            "only uncompressed BMP/PPM payloads are decodable without "
+            "image libraries (JPEG/PNG need Pillow/libjpeg)"
+        )
+    n_px = width * height
+    sum_luma = sum(lumas)
+    emb = []
+    for gy in range(4):
+        y0, y1 = gy * height // 4, (gy + 1) * height // 4
+        for gx in range(4):
+            x0, x1 = gx * width // 4, (gx + 1) * width // 4
+            cell = [
+                lumas[y * width + x]
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            ]
+            emb.append(
+                round(sum(cell) / len(cell) / 255.0, 6) if cell else 0.0
+            )
     return {
         "sha256": hashlib.sha256(payload).hexdigest(),
-        "width": 64 + h[0] % 192,
-        "height": 64 + h[1] % 192,
-        "mean_luma": round(h[2] / 255.0, 6),
-        "embedding": [round((b - 128) / 128.0, 6) for b in h[:16]],
+        "width": width,
+        "height": height,
+        "n_px": n_px,
+        "sum_luma": sum_luma,
+        "mean_luma": round(sum_luma / n_px / 255.0, 6),
+        "embedding": emb,
     }
 
 
-def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_audio(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE PCM16 payload into exact features."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE audio is supported")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV is supported")
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1])
+    return {
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": len(samples) // channels,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Distributed passes
+# ---------------------------------------------------------------------------
+
+def image_features(df: DataFrame) -> DataFrame:
     """media rows → per-image features via one Arrow-batched pass.
 
     The payload column is consumed inside the pass and dropped from the
-    output (same no-payload-shuffle rule as the text pipeline).
-    """
+    output (same no-payload-shuffle rule as the text pipeline)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [decode_image(p, fake=fake) for p in b["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": b["media_id"].values,
-                    "sha256": [f["sha256"] for f in feats],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "mean_luma": [f["mean_luma"] for f in feats],
-                    "embedding": [f["embedding"] for f in feats],
-                }
-            )
+            feats = [decode_image(bytes(p)) for p in b["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", b["media_id"].values)
+            yield out
 
     return df.select("media_id", "payload").mapInPandas(
         fn, schema=IMAGE_FEATURES_SCHEMA
     )
 
 
+def audio_features(df: DataFrame) -> DataFrame:
+    """media rows → per-clip audio features via one Arrow-batched pass."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [decode_audio(bytes(p)) for p in b["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", b["media_id"].values)
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling PLAN: emits (media_id, frame_no) rows for every
     n-th frame from the metadata frame count — pure plan arithmetic
-    (sequence+explode), the decode of each sampled frame being the stubbed
-    step. Demonstrates the 1→N fan-out shape for video at scale."""
+    (sequence+explode); each sampled frame's decode is the image path.
+    Demonstrates the 1→N fan-out shape for video at scale."""
     n_frames = (F.col("n_bytes") / 1024).cast("int") + 1  # fake frame count
     return df.select(
         "media_id",
@@ -117,3 +301,72 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.octet_length(payload).cast("int").alias("n_bytes"),
     )
+
+
+def _doc_image_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic synthetic image dims per doc — shared with the DuckDB
+    oracle (which reproduces the same arithmetic in SQL)."""
+    return 4 + doc_id % 13, 4 + (doc_id // 13) % 11
+
+
+def _doc_pixel(doc_id: int):
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        v = (x + 3 * y + doc_id) % 256
+        return (v, v, v)
+
+    return px
+
+
+def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic gray BMP per document (pixel (x,y) =
+    (x + 3y + doc_id) mod 256) via one Arrow-batched pass — the binary
+    column genuinely round-trips through a real encoder before the real
+    decoder sees it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = _doc_image_dims(did)
+                payloads.append(build_bmp(w, h, _doc_pixel(did)))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def media_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic PCM16 WAV per document: n = 16 + doc_id
+    mod 50 samples, sample[i] = ((37i + 11·doc_id) mod 4096) − 2048."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 16 + did % 50
+                samples = [(37 * i + 11 * did) % 4096 - 2048 for i in range(n)]
+                payloads.append(build_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)

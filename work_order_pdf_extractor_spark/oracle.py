@@ -27,15 +27,21 @@ def extract_goldens(
     transcripts: pd.DataFrame, reference_orders: set[str] | pd.DataFrame
 ) -> pd.DataFrame:
     """One golden row per input turn, ordered by (conv_id, turn_idx)."""
+    # RAW trimmed reference set + dual probe below — exactly the
+    # reference's shape (raw CSV set :976-996; str/int probe :1752-1767)
+    # and the mirror of prepare_reference_orders/run_pipeline.
     if isinstance(reference_orders, pd.DataFrame):
-        ref_set = {normalize_key(str(v)) for v in reference_orders["Order"]}
+        ref_set = {str(v).strip() for v in reference_orders["Order"]}
     else:
-        ref_set = {normalize_key(v) for v in reference_orders}
+        ref_set = {str(v).strip() for v in reference_orders}
+    ref_set.discard("")
 
     out_rows = []
     for row in transcripts.itertuples(index=False):
         res = extract_turn(row.text, row.tool)
-        wo_norm = normalize_key(res["work_order_number"])
+        wo = res["work_order_number"]
+        wo_trim = wo.strip() if wo is not None else None
+        wo_norm = normalize_key(wo)
         out_rows.append(
             {
                 "conv_id": row.conv_id,
@@ -46,7 +52,8 @@ def extract_goldens(
                 "equipment_number": res["equipment_number"],
                 "customer": res["customer"],
                 "order_date": res["order_date"],
-                "matched": wo_norm is not None and wo_norm in ref_set,
+                "matched": (wo_trim is not None and wo_trim in ref_set)
+                or (wo_norm is not None and wo_norm in ref_set),
                 "status": res["status"],
             }
         )
@@ -56,8 +63,12 @@ def extract_goldens(
 
 
 def output_names(golden: pd.DataFrame) -> pd.Series:
-    """Derived disposition names: ``CS-{wo}-{equip|NoEquip}.pdf``."""
+    """Derived disposition names: ``CS-{wo}-{equip|NoEquip}.pdf`` for
+    MATCHED rows only (the reference renames on match, moves unmatched
+    files under their original name, :1769-1797)."""
     return golden.apply(
-        lambda r: field_rules.output_name(r.work_order_number, r.equipment_number),
+        lambda r: field_rules.output_name(r.work_order_number, r.equipment_number)
+        if r.matched
+        else None,
         axis=1,
     )

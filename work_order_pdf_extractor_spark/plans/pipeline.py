@@ -31,21 +31,27 @@ from . import skew
 
 
 def normalize_key_col(col: F.Column) -> F.Column:
-    """JVM-side equivalent of ``core.textnorm.normalize_key`` — the
-    reference's dual str/int probe (``work_order_extractor.py:1752-1767``)
-    as one expression BEFORE the join (no dual probes needed)."""
+    """JVM-side equivalent of ``core.textnorm.normalize_key``: trim; if
+    ASCII-digits-only, strip leading zeros (keep one). The zero-strip is a
+    regex, NOT ``cast('long')`` — under Spark 4 ANSI mode a digits-only
+    key longer than 19 chars would throw CAST_INVALID_INPUT and kill the
+    job, violating the 'failures degrade, never crash' rule; the regex is
+    length-unbounded and total."""
     t = F.trim(col)
     return F.when(t == "", None).when(
-        t.rlike("^[0-9]+$"), t.cast("long").cast("string")
+        t.rlike("^[0-9]+$"), F.regexp_replace(t, "^0+(?!$)", "")
     ).otherwise(t)
 
 
 def prepare_reference_orders(ref_df: DataFrame) -> DataFrame:
-    """Build side: normalize + distinct (the reference's CSV→set,
-    ``work_order_extractor.py:976-996``)."""
+    """Build side: RAW trimmed keys + distinct (the reference's CSV→set,
+    ``work_order_extractor.py:976-996``, keeps raw strings; normalization
+    happens on the PROBE side via the dual probe in :func:`run_pipeline`,
+    mirroring the reference's str/int double lookup :1752-1767)."""
+    t = F.trim(F.col("Order").cast("string"))
     return (
-        ref_df.select(normalize_key_col(F.col("Order")).alias("ref_order"))
-        .where(F.col("ref_order").isNotNull())
+        ref_df.select(t.alias("ref_order"))
+        .where(F.col("ref_order").isNotNull() & (F.col("ref_order") != ""))
         .distinct()
     )
 
@@ -87,28 +93,40 @@ def run_pipeline(
     elif n_partitions:
         extracted = extracted.repartition(n_partitions, "conv_id")
     extracted = extracted.withColumn(
-        "wo_norm", normalize_key_col(F.col("work_order_number"))
-    )
+        "wo_trim", F.trim(F.col("work_order_number"))
+    ).withColumn("wo_norm", normalize_key_col(F.col("work_order_number")))
 
     ref = (
         reference_orders.select(F.col("ref_order"))
         if ref_prepared
         else prepare_reference_orders(reference_orders)
     )
+    # the reference's DUAL PROBE (work_order_extractor.py:1752-1767): the
+    # raw extracted key AND its int-normalized form are both looked up in
+    # the raw reference set. Two broadcast HASH joins (equality keys; an
+    # OR-of-equalities join would degrade to BroadcastNestedLoopJoin) —
+    # both narrow, zero shuffle, build side deduped.
+    ref_raw = ref.select(F.col("ref_order").alias("ref_hit_raw"))
+    ref_nrm = ref.select(F.col("ref_order").alias("ref_hit_norm"))
     joined = extracted.join(
-        F.broadcast(ref), extracted.wo_norm == ref.ref_order, "left"
-    )
+        F.broadcast(ref_raw), extracted.wo_trim == ref_raw.ref_hit_raw, "left"
+    ).join(F.broadcast(ref_nrm), F.col("wo_norm") == ref_nrm.ref_hit_norm, "left")
 
     result = (
-        joined.withColumn("matched", F.col("ref_order").isNotNull())
+        joined.withColumn(
+            "matched",
+            F.col("ref_hit_raw").isNotNull() | F.col("ref_hit_norm").isNotNull(),
+        )
         .withColumn(
             "disposition",
             F.when(F.col("matched"), F.lit("matched")).otherwise(F.lit("not_matched")),
         )
+        # rename-on-match only: the reference renames matched files and
+        # moves unmatched ones under their ORIGINAL name (:1769-1797)
         .withColumn(
             "out_name",
             F.when(
-                F.col("work_order_number").isNotNull(),
+                F.col("matched") & F.col("work_order_number").isNotNull(),
                 F.format_string(
                     "CS-%s-%s.pdf",
                     F.col("work_order_number"),
@@ -116,7 +134,7 @@ def run_pipeline(
                 ),
             ),
         )
-        .drop("wo_norm", "ref_order")
+        .drop("wo_trim", "wo_norm", "ref_hit_raw", "ref_hit_norm")
     )
 
     if observation is not None:

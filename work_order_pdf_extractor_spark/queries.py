@@ -360,15 +360,30 @@ FROM events GROUP BY event_type
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL++ sketch count-distinct — the at-scale variant of A5. No SQL
-    oracle (sketch estimates are engine-specific); the driver records the
-    weaker rows-only check, and the pytest suite bounds the estimate
-    against the exact count instead."""
+    """HLL++ sketch count-distinct — the at-scale variant of A5. The raw
+    estimate is engine-specific, so what the oracle checks is the sketch's
+    CONTRACT: ``within_bound`` = estimate within 5×rsd (rsd=0.02 → 10%) of
+    the exact count, plus the exact count itself. DuckDB asserts the same
+    exact counts and ``TRUE`` bounds — a value-hash-checkable end-to-end
+    row instead of round 1's ``no_oracle``."""
     li = ld(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("within_bound"),
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ===========================================================================
@@ -1120,6 +1135,50 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 3
 """
 
 
+def q_dedup_near_materialize(spark, sf_dir):
+    """End-to-end near-dup dedup — LSH candidates → Jaccard verify on
+    candidates only → greedy keeper (drop larger id of each verified
+    pair) → materialized corpus. The composition proves LSH prunes the
+    cross product: Jaccard runs only on band-bucket collisions."""
+    from .operators import dedup
+
+    return dedup.deduplicate_near(
+        ld(spark, sf_dir, "documents"), n=3, threshold=0.6,
+        n_hashes=N_MINHASH, bands=LSH_BANDS,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_DEDUP_NEAR = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
+      for b in range(LSH_BANDS)
+  )}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT doc1, doc2 FROM common
+  JOIN sizes z1 ON doc1 = z1.doc_id JOIN sizes z2 ON doc2 = z2.doc_id
+  WHERE ROUND(n_common / (z1.n_sh + z2.n_sh - n_common), 6) >= 0.6)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc2 FROM verified)
+"""
+
+
 # ===========================================================================
 # Similarity search (embeddings)
 # ===========================================================================
@@ -1372,8 +1431,8 @@ FROM documents
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + typed metadata
-    (byte length, sha256 checksum) — the decode stage itself is stubbed in
-    operators/multimodal.py; the schema/bytes path is real."""
+    (byte length, sha256 checksum). The decode stage is exercised
+    end-to-end by `multimodal_decode`/`audio_decode` below."""
     docs = ld(spark, sf_dir, "documents")
     bin_col = F.encode(F.col("text"), "utf-8")
     return docs.select(
@@ -1387,6 +1446,124 @@ SQL_MULTIMODAL_META = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode end-to-end: a deterministic 24-bit BMP is built
+    per document (pixel (x,y) = (x+3y+doc_id) mod 256, gray), round-tripped
+    through the binary payload column, and decoded by the stdlib BMP parser
+    in an Arrow-batched pass. The oracle reproduces width/height/n_px/
+    sum_luma analytically — integer-exact, no float rounding in the hash."""
+    from .operators import multimodal
+
+    media = multimodal.media_bmp_from_documents(ld(spark, sf_dir, "documents"))
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+         CAST(4 + (doc_id // 13) % 11 AS INTEGER) AS height
+  FROM documents),
+px AS (
+  SELECT media_id, width, height, (x + 3*y + media_id) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y))
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_luma
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: a deterministic PCM16 WAV per document
+    (n = 16 + doc_id mod 50 samples; sample[i] = (37i + 11·doc_id) mod 4096
+    − 2048) decoded by the stdlib RIFF/WAVE parser; integer features only."""
+    from .operators import multimodal
+
+    media = multimodal.media_wav_from_documents(ld(spark, sf_dir, "documents"))
+    return multimodal.audio_features(media).select(
+        "media_id", "channels", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
+SQL_AUDIO_DECODE = """
+WITH n AS (
+  SELECT doc_id AS media_id, CAST(16 + doc_id % 50 AS INTEGER) AS n_samples
+  FROM documents),
+s AS (
+  SELECT media_id, n_samples, (37*i + 11*media_id) % 4096 - 2048 AS v
+  FROM n, LATERAL (SELECT unnest(generate_series(0, n_samples - 1)) AS i))
+SELECT media_id, CAST(1 AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate, n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM s GROUP BY 1, 2, 3, 4
+"""
+
+
+# ===========================================================================
+# Connector round-trips (JSONL / CSV sources)
+# ===========================================================================
+
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    import os
+
+    return os.path.join(
+        "/tmp", f"spark_graft_{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+def q_jsonl_source(spark, sf_dir):
+    """JSONL connector proof: the documents table is round-tripped through
+    line-delimited JSON (Spark writer → `sources.read_jsonl` with an
+    explicit schema, no inference) and must match the parquet original
+    byte-for-byte — md5(text) in the output pins content fidelity through
+    JSON escaping. Real transcript corpora commonly arrive as JSONL."""
+    from .sources.transcripts import read_jsonl
+
+    out = _roundtrip_dir(sf_dir, "jsonl")
+    ld(spark, sf_dir, "documents").coalesce(4).write.mode("overwrite").json(out)
+    back = read_jsonl(
+        spark, out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_JSONL_SOURCE = """
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_csv_source(spark, sf_dir):
+    """CSV connector proof (the reference's own ingest format,
+    work_order_extractor.py:976-996): events round-tripped through CSV with
+    an explicit schema; doubles survive because Spark writes shortest
+    round-trip representations."""
+    from .sources.transcripts import read_csv
+
+    out = _roundtrip_dir(sf_dir, "csv")
+    ev = ld(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.coalesce(4).write.mode("overwrite").option("header", True).csv(out)
+    return read_csv(
+        spark, out,
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+
+
+SQL_CSV_SOURCE = """
+SELECT event_id, user_id, event_type, value FROM events
 """
 
 
@@ -1410,7 +1587,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
     "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
-    "approx_distinct": (q_approx_distinct, None),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     # joins
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
@@ -1448,6 +1625,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
+    "dedup_near_materialize": (q_dedup_near_materialize, SQL_DEDUP_NEAR),
     # similarity search
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
@@ -1460,4 +1638,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    # connectors
+    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
+    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
 }

@@ -25,10 +25,42 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL (one JSON object per line) scan with an EXPLICIT schema —
+    never ``inferSchema``, which would read the whole corpus once just to
+    guess types before reading it again. Spark's json source splits and
+    parallelizes line-delimited files natively; corrupt lines surface in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the scan —
+    the 'failures degrade, never crash' rule at the connector layer."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """CSV scan with an explicit schema (same no-inference rule). Quoting/
+    escaping follow Spark's writer defaults, so Spark-written CSV
+    round-trips exactly."""
+    return spark.read.option("header", header).schema(schema).csv(path)
+
+
 def read_transcripts(spark: SparkSession, location: str) -> DataFrame:
-    """``location`` is either an Iceberg table identifier (``catalog.db.t``)
-    or a parquet path. Validates the mandated schema either way."""
-    if "/" not in location and iceberg_available(spark):
+    """``location`` is an Iceberg table identifier (``catalog.db.t``), a
+    parquet directory, a ``.jsonl``/``.json`` path, or a ``.csv`` path
+    (real transcript corpora commonly arrive as JSONL dumps; the
+    reference's own ingest is CSV, ``work_order_extractor.py:976-996``).
+    Validates the mandated schema either way."""
+    if location.endswith((".jsonl", ".json")) or location.endswith(".jsonl/"):
+        df = read_jsonl(spark, location, TRANSCRIPT_DDL)
+    elif location.endswith(".csv"):
+        df = read_csv(spark, location, TRANSCRIPT_DDL)
+    elif "/" not in location and iceberg_available(spark):
         df = spark.read.format("iceberg").table(location)
     else:
         df = spark.read.parquet(location)

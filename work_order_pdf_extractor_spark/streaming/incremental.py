@@ -57,6 +57,14 @@ def run_incremental(
     ``max_files_per_batch`` caps micro-batch size (the reference's
     batch_size knob :100); the checkpoint makes reruns skip completed
     batches — kill it mid-run and rerun to resume.
+
+    Exactly-once OUTPUT despite foreachBatch's at-least-once execution: a
+    crash after the write but before the checkpoint commit replays the
+    micro-batch, so the sink must be idempotent per batch. Each batch
+    dynamically OVERWRITES its own ``batch_id=<id>`` partitions (dynamic
+    partition overwrite replaces only partitions present in the batch) —
+    a replay rewrites identical data in place instead of appending
+    duplicates.
     """
     reader = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -70,7 +78,12 @@ def run_incremental(
         result = run_pipeline(
             batch_df, reference_orders, crop=crop, salt=False
         ).withColumn("batch_id", F.lit(batch_id))
-        result.write.mode("append").partitionBy("disposition").parquet(out_dir)
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "disposition")
+            .parquet(out_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
