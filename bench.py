@@ -42,13 +42,24 @@ HEADLINE = [
     "running_sum",
     "explode_words",
     "dedup_exact",
+    "dedup_near_materialize",
     "minhash_lsh_pairs",
     "simhash",
     "cosine_topk",
     "ann_lsh_buckets",
+    "ivf_topk",
     "langid",
     "token_count",
+    "multimodal_decode",
 ]
+
+# realistic ANN scale for the high-dim bench: the sf tables carry 64-dim
+# embeddings; production embedding columns are 256-1536-dim over much larger
+# corpora, and the LSH bucket pass is the operator whose plan must stay
+# narrow there (round 1's exploded plan was dims x planes = 2048x row
+# amplification at this shape).
+HD_VECS = 50_000
+HD_DIM = 256
 
 
 def _force(df) -> int:
@@ -62,6 +73,27 @@ def _ensure_bench_fixture(scale: str = "bench") -> str:
 
     os.makedirs(BENCH_CACHE, exist_ok=True)
     return fixtures.write_fixture_parquet(BENCH_CACHE, scale)["transcripts"]
+
+
+def _ensure_hd_embeddings(spark) -> str:
+    """Deterministic 256-dim x 50k embedding table, generated JVM-side
+    (xxhash64 of (id, dim) -> [-0.5, 0.5)) and cached as parquet."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BENCH_CACHE, f"embeddings_{HD_VECS}x{HD_DIM}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.range(0, HD_VECS, 1, 32).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HD_DIM - 1)),
+                lambda d: (
+                    (F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000)) - 500)
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        emb.write.mode("overwrite").parquet(path)
+    return path
 
 
 def run_default() -> None:
@@ -106,6 +138,20 @@ def run_default() -> None:
         ext_sec = min(ext_sec, time.perf_counter() - t0)
     times["extract_pipeline"] = round(ext_sec, 3)
 
+    # high-dim ANN: the LSH bucket pass at a realistic embedding shape
+    # (50k x 256-dim) — must stay a single narrow projection (no explode,
+    # no shuffle); best-of-2 after a warm run
+    from work_order_pdf_extractor_spark.operators import similarity
+
+    hd = spark.read.parquet(_ensure_hd_embeddings(spark))
+    _force(similarity.hyperplane_lsh_buckets(hd))
+    hd_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(similarity.hyperplane_lsh_buckets(hd))
+        hd_sec = min(hd_sec, time.perf_counter() - t0)
+    times[f"ann_lsh_{HD_VECS // 1000}k_{HD_DIM}d"] = round(hd_sec, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -117,6 +163,7 @@ def run_default() -> None:
                 "sf": sf,
                 "extract_turns": n_turns,
                 "extract_turns_per_sec": round(n_turns / ext_sec, 1),
+                "ann_vecs_per_sec": round(HD_VECS / hd_sec, 1),
                 "cores": cores,
             }
         )
@@ -205,6 +252,33 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
         s, m = one_run()
         if s < sec:
             sec, metrics = s, m
+
+    # ANN family at the same parallelism level: the high-dim LSH bucket
+    # pass (narrow, JVM-side) with its own order-insensitive fingerprint
+    from pyspark.sql import functions as F2
+
+    from work_order_pdf_extractor_spark.operators import similarity
+
+    hd = spark.read.parquet(_ensure_hd_embeddings(spark))
+
+    def ann_run() -> tuple[float, dict]:
+        obs = Observation()
+        res = similarity.hyperplane_lsh_buckets(hd).observe(
+            obs,
+            F2.expr("bit_xor(xxhash64(vec_id, bucket))").alias("fp"),
+            F2.count(F2.lit(1)).alias("n"),
+        )
+        t0 = time.perf_counter()
+        _force(res)
+        return time.perf_counter() - t0, obs.get
+
+    ann_run()
+    ann_sec, ann_m = float("inf"), None
+    for _ in range(2):
+        s, m = ann_run()
+        if s < ann_sec:
+            ann_sec, ann_m = s, m
+
     print(
         json.dumps(
             {
@@ -214,6 +288,8 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
                 "turns_per_sec": round(n_turns / sec, 1),
                 "result_fingerprint": int(metrics["fp"]),
                 "result_rows": int(metrics["n"]),
+                "ann_vecs_per_sec": round(HD_VECS / ann_sec, 1),
+                "ann_fingerprint": int(ann_m["fp"]),
             }
         )
     )
@@ -292,6 +368,12 @@ def run_scaling() -> None:
     fps = {results[c]["result_fingerprint"] for c in (2, 8, 32)}
     rows = {results[c]["result_rows"] for c in (2, 8, 32)}
     equality_ok = len(fps) == 1 and len(rows) == 1
+    ann_tp = {c: results[c]["ann_vecs_per_sec"] for c in (2, 8, 32)}
+    ann_equality_ok = len({results[c]["ann_fingerprint"] for c in (2, 8, 32)}) == 1
+    ann_eff = {
+        "2_to_8": round((ann_tp[8] / ann_tp[2]) / 4.0, 3),
+        "8_to_32": round((ann_tp[32] / ann_tp[8]) / 4.0, 3),
+    }
     eff = {
         "2_to_8": round((tp[8] / tp[2]) / 4.0, 3),
         "8_to_32": round((tp[32] / tp[8]) / 4.0, 3),
@@ -313,6 +395,9 @@ def run_scaling() -> None:
         "hw_ceiling_efficiency": hw_eff,
         "attainment_of_hw_ceiling": attain,
         "per_turn_equality_across_configs": equality_ok,
+        "ann_vecs_per_sec": ann_tp,
+        "ann_scaling_efficiency": ann_eff,
+        "ann_equality_across_configs": ann_equality_ok,
         "target": "eff >= 0.8 or attainment >= 0.9, equality at all levels",
         "pass": ok,
     }
@@ -339,6 +424,15 @@ def run_scaling() -> None:
                 f"| {k.replace('_to_', '→')} | {eff[k]} | {hw_eff[k]} | {attain[k]} |\n"
                 for k in ("2_to_8", "8_to_32")
             )
+            + f"\n## ANN family ({HD_VECS} vecs × {HD_DIM}-dim hyperplane-LSH bucketing, same pinning)\n\n"
+            "| config | vecs/sec |\n|---|---|\n"
+            + "".join(f"| {c} CPUs | {ann_tp[c]} |\n" for c in (2, 8, 32))
+            + "\n| N→4N pair | ANN eff |\n|---|---|\n"
+            + "".join(
+                f"| {k.replace('_to_', '→')} | {ann_eff[k]} |\n"
+                for k in ("2_to_8", "8_to_32")
+            )
+            + f"\n- bucket fingerprint identical across configs: {ann_equality_ok}\n"
             + f"\n- per-turn result fingerprint identical across all three configs: "
             f"{equality_ok} (order-insensitive xxhash64 over (conv_id, turn_idx, "
             "extracted_text, matched, status)) — per-turn equality holds at every "

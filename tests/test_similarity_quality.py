@@ -17,24 +17,36 @@ def emb(spark):
 
 
 @pytest.fixture(scope="module")
-def brute(spark, emb):
-    df = S.cosine_topk(emb, k=3, allow_full_scan=True).toPandas()
+def full_pairs(spark, emb):
+    """ALL exact pairwise sims, computed once per module — every other
+    check (top-3 brute force, approx-agreement) derives from it."""
+    df = S.cosine_topk(emb, k=10**6, allow_full_scan=True).toPandas()
     return {(r.qid, r.nid): r.sim for r in df.itertuples()}
 
 
-def _sims_agree(approx_df, emb, spark):
+@pytest.fixture(scope="module")
+def brute(full_pairs):
+    top = {}
+    for (q, n), sim in full_pairs.items():
+        top.setdefault(q, []).append((-sim, n))
+    return {
+        (q, n): -negsim
+        for q, lst in top.items()
+        for negsim, n in sorted(lst)[:3]
+    }
+
+
+def _sims_agree(approx_df, full_pairs):
     """Every (q, n, sim) an approximate method reports must equal the
     exact cosine for that pair."""
-    full = S.cosine_topk(emb, k=10**6, allow_full_scan=True).toPandas()
-    exact = {(r.qid, r.nid): r.sim for r in full.itertuples()}
     for r in approx_df.itertuples():
-        assert exact[(r.qid, r.nid)] == pytest.approx(r.sim, abs=1e-4)
+        assert full_pairs[(r.qid, r.nid)] == pytest.approx(r.sim, abs=1e-4)
 
 
-def test_ivf_sims_match_exact(spark, emb):
+def test_ivf_sims_match_exact(spark, emb, full_pairs):
     approx = S.ivf_topk(emb, k=3, n_centroids=8).toPandas()
     assert len(approx) > 0
-    _sims_agree(approx, emb, spark)
+    _sims_agree(approx, full_pairs)
 
 
 def test_lsh_pairs_share_bucket(spark, emb):
@@ -46,6 +58,24 @@ def test_lsh_pairs_share_bucket(spark, emb):
     assert len(approx) > 0
     for r in approx.itertuples():
         assert buckets[r.qid] == buckets[r.nid]
+
+
+def test_ivf_cells_trained_and_balanced(spark, emb):
+    """Trained (Lloyd-iterated) centroids must produce defensible cell
+    balance — every cell populated and no cell a skew whale. Round 1's
+    first-8-by-id centroids made cell sizes insertion-order-dependent."""
+    a = S.ivf_assign(emb, 8).toPandas()
+    counts = a.centroid_id.value_counts()
+    assert len(counts) == 8, f"empty cells: {counts.to_dict()}"
+    assert counts.max() <= 0.5 * len(a), f"whale cell: {counts.to_dict()}"
+
+
+def test_ivf_centroids_deterministic_across_partitionings(spark, emb):
+    c1 = S.ivf_centroids(emb, 8).toPandas()
+    c2 = S.ivf_centroids(emb.repartition(13), 8).toPandas()
+    m1 = {r.centroid_id: list(r.cv) for r in c1.itertuples()}
+    m2 = {r.centroid_id: list(r.cv) for r in c2.itertuples()}
+    assert m1 == m2  # bit-identical: decimal sums are order-independent
 
 
 def test_ivf_recall_within_cells(spark, emb, brute):

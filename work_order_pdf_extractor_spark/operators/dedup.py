@@ -306,6 +306,68 @@ def simhash_near_pairs(
     )
 
 
+def doc_embeddings(
+    df: DataFrame,
+    dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hashed bag-of-words embedding per document: dimension
+    ``j`` = Σ over tokens of ``(md5-hash(token, seed j) mod 1001) − 500``.
+    Integer sums — order-independent, exactly reproducible in SQL — so the
+    embedding is cross-engine-identical. Near-duplicate documents share
+    almost all tokens, hence almost identical vectors (cosine → 1); this is
+    the classic feature-hashing trick, not a learned model, which is what
+    makes it oracle-checkable. One explode + one aggregation (``dims``
+    sums), the same plan shape as :func:`simhash`."""
+    words = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(id_col, F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    aggs = [
+        F.sum((stable_hash64(F.col("w"), seed=j) % 1001) - 500).alias(f"e{j}")
+        for j in range(dims)
+    ]
+    emb = words.groupBy(id_col).agg(*aggs)
+    arr = F.array(*[F.col(f"e{j}").cast("double") for j in range(dims)])
+    return emb.select(id_col, arr.alias("embedding"))
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dims: int = 16,
+    n_planes: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: hashed-BoW embeddings → hyperplane-LSH
+    buckets → within-bucket cosine ≥ threshold. The third near-dup family
+    beside MinHash/Jaccard and SimHash; the join key is the LSH bucket, so
+    the pair generation is linear-ish in corpus size (recall is the LSH
+    tradeoff: near-identical vectors can straddle a bucket boundary on a
+    near-zero projection). Output: (doc1, doc2, sim)."""
+    from .similarity import _dot, _norm, hyperplane_lsh_buckets
+
+    emb = doc_embeddings(df, dims, text_col, id_col)
+    b = hyperplane_lsh_buckets(emb, n_planes, id_col, "embedding")
+    withb = emb.join(b, id_col)
+    a = withb.select(
+        F.col(id_col).alias("doc1"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = withb.select(
+        F.col(id_col).alias("doc2"), F.col("embedding").alias("nv"), "bucket"
+    )
+    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def deduplicate_near(
     df: DataFrame,
     n: int = 3,

@@ -130,22 +130,98 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, bucket.cast("int").alias("bucket"))
 
 
+IVF_ITERS = 2
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids: hash-seeded init + ``iters`` Lloyd iterations,
+    fully deterministic and data-order-independent (round 1 used
+    first-``n``-by-id, whose cell sizes depended on insertion order).
+
+    - INIT: bucket rows by ``md5(id) % n_centroids``; each bucket's
+      min-hash row seeds one centroid — a seeded uniform sample, the
+      k-means init step, reproducible in SQL.
+    - ITERATE: assign to nearest centroid by rounded cosine (id
+      tiebreaks), then recompute each centroid as the element-wise mean
+      of its members. Per-dimension sums accumulate as DECIMAL(28,9)
+      (order-independent exact) and divide as double, so both engines
+      produce bit-identical centroids.
+
+    At 100 TB you train on a SAMPLE (this whole function over a
+    ``df.sample``) and broadcast the result; assignment below is the part
+    that touches every row and it stays O(rows × centroids).
+    Output: (centroid_id int, cv array<double>)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeded = df.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        (h % n_centroids).alias("cell"),
+        h.alias("hh"),
+    )
+    w = Window.partitionBy("cell").orderBy("hh", "sid")
+    cents = (
+        seeded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cell").cast("int").alias("centroid_id"),
+            F.transform("sv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+        sim = F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 4)
+        scored = v.join(F.broadcast(cents)).select(
+            "vid", "vv", "centroid_id", sim.alias("s")
+        )
+        aw = Window.partitionBy("vid").orderBy(
+            F.col("s").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("centroid_id", "vv")
+        )
+        ex = assigned.select("centroid_id", F.posexplode("vv").alias("d", "x"))
+        means = ex.groupBy("centroid_id", "d").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid.
-
-    Centroids are the first ``n_centroids`` vectors by id — a deterministic
-    stand-in for a k-means fit (at scale you'd train centroids on a sample
-    once and broadcast them; the assignment join below is the part that
-    must scale, and it is a broadcast cross-join against n_centroids rows,
-    i.e. O(rows × centroids), never O(rows²)).
-    Output: (id_col, centroid_id, centroid_sim)."""
-    cents = df.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    """IVF coarse quantization: assign every vector to its nearest trained
+    centroid (:func:`ivf_centroids`). The assignment join is a broadcast
+    cross-join against n_centroids rows — O(rows × centroids), never
+    O(rows²). Output: (id_col, centroid_id, centroid_sim)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, n_centroids, IVF_ITERS, id_col, vec_col)
     )
     v = df.select(id_col, F.col(vec_col).alias("vv"))
     sim = F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 4)

@@ -1135,6 +1135,78 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 3
 """
 
 
+EMB_DIMS = 16
+EMB_PLANES = 6
+
+
+def _plane_val_sql(j: str, d: str) -> str:
+    """Integer hyperplane value for (plane j, dim d) — must stay in
+    lockstep with operators/similarity.py `_plane_projection`."""
+    return f"(((1 + ({j}*64 + {d}) * 2654435761) % 2001) - 1000)"
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup (third near-dup family): deterministic
+    hashed-BoW embeddings (integer sums — cross-engine-exact), hyperplane-
+    LSH buckets, within-bucket cosine ≥ 0.95. At sf0.01 this recovers the
+    same 25 true near-dup pairs as the n-gram Jaccard verifier."""
+    from .operators import dedup
+
+    return dedup.embedding_near_pairs(
+        ld(spark, sf_dir, "documents"),
+        threshold=0.95, dims=EMB_DIMS, n_planes=EMB_PLANES,
+    )
+
+
+def _emb_sql_ctes() -> str:
+    from .operators.dedup import MH_P  # noqa: F401  (same module constants)
+
+    dim_sums = ", ".join(
+        f"SUM(CAST(CONCAT('0x', substr(md5('{j}#' || w), 1, 8)) AS BIGINT) % 1001 - 500) AS e{j}"
+        for j in range(EMB_DIMS)
+    )
+    arr = ", ".join(f"CAST(e{j} AS DOUBLE)" for j in range(EMB_DIMS))
+    return f"""
+words AS (
+  SELECT doc_id, w FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+emb AS (SELECT doc_id, {dim_sums} FROM words GROUP BY doc_id),
+vec AS (SELECT doc_id, [{arr}] AS embedding FROM emb),
+e AS (
+  SELECT doc_id, d - 1 AS d, CAST(x AS DOUBLE) AS x
+  FROM (SELECT doc_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d FROM vec)),
+ed AS (
+  SELECT doc_id, d, x, j
+  FROM e, LATERAL (SELECT unnest(generate_series(0, {EMB_PLANES - 1})) AS j)),
+proj AS (
+  SELECT doc_id, j,
+         SUM(CAST(x * CAST({_plane_val_sql('j', 'd')} AS DOUBLE) AS DECIMAL(28,9))) AS proj
+  FROM ed GROUP BY doc_id, j),
+buckets AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM proj GROUP BY doc_id),
+withv AS (
+  SELECT b.doc_id, b.bucket, v.embedding FROM buckets b
+  JOIN vec v ON b.doc_id = v.doc_id)
+"""
+
+
+SQL_EMBEDDING_NEAR = f"""
+WITH {_emb_sql_ctes()}
+SELECT a.doc_id AS doc1, c.doc_id AS doc2,
+       ROUND(list_dot_product(a.embedding, c.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS sim
+FROM withv a JOIN withv c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+WHERE ROUND(list_dot_product(a.embedding, c.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(c.embedding, c.embedding))), 4) >= 0.95
+"""
+
+
 def q_dedup_near_materialize(spark, sf_dir):
     """End-to-end near-dup dedup — LSH candidates → Jaccard verify on
     candidates only → greedy keeper (drop larger id of each verified
@@ -1215,10 +1287,6 @@ WHERE rank <= 5
 N_PLANES = 8
 
 
-def _plane_val_sql(j: str, d: str) -> str:
-    return f"(((1 + ({j}*64 + {d}) * 2654435761) % 2001) - 1000)"
-
-
 def q_ann_lsh_buckets(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH — 8 integer-valued planes
     (derived from index arithmetic, identical in both engines), bucket =
@@ -1295,16 +1363,63 @@ WHERE rank <= 3
 """
 
 
-_SQL_IVF_ASSIGN_CTE = """
-cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-          FROM embeddings ORDER BY vec_id LIMIT 8),
+IVF_K = 8
+IVF_ITERS = 2
+
+_COS = (
+    "ROUND(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 4)"
+)
+
+
+def _ivf_centroid_ctes(k: int = IVF_K, iters: int = IVF_ITERS) -> tuple[str, str]:
+    """DuckDB twin of operators.similarity.ivf_centroids: hash-seeded init
+    + Lloyd iterations with DECIMAL(28,9) per-dimension sums (exact, so
+    both engines produce bit-identical centroids). Returns (ctes, name of
+    the final centroid CTE)."""
+    parts = [f"""
+seeded AS (
+  SELECT vec_id, embedding,
+         CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(hh % {k} AS INTEGER) AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM (SELECT *, row_number() OVER (PARTITION BY hh % {k}
+                   ORDER BY hh, vec_id) AS rn FROM seeded)
+  WHERE rn = 1)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sim = _COS.format(a="v.embedding", b="c.cv")
+        parts.append(f""",
+a{it} AS (
+  SELECT centroid_id, embedding FROM (
+    SELECT v.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {sim} DESC, c.centroid_id) AS rn
+    FROM embeddings v, {prev} c) WHERE rn = 1),
+m{it} AS (
+  SELECT centroid_id, d,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM (SELECT centroid_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d FROM a{it})
+  GROUP BY 1, 2),
+c{it} AS (
+  SELECT centroid_id, list(m ORDER BY d) AS cv FROM m{it}
+  GROUP BY centroid_id)""")
+        prev = f"c{it}"
+    return "".join(parts), prev
+
+
+_IVF_CTES, _IVF_FINAL = _ivf_centroid_ctes()
+
+_SQL_IVF_ASSIGN_CTE = f"""{_IVF_CTES},
 v AS (SELECT vec_id, embedding AS vv FROM embeddings),
 scored AS (
   SELECT vec_id, centroid_id,
-         ROUND(list_dot_product(vv::DOUBLE[], cv::DOUBLE[]) /
-               (sqrt(list_dot_product(vv::DOUBLE[], vv::DOUBLE[])) *
-                sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 4) AS centroid_sim
-  FROM v, cents),
+         {_COS.format(a='vv', b='cv')} AS centroid_sim
+  FROM v, {_IVF_FINAL}),
 assigned AS (
   SELECT vec_id, centroid_id, centroid_sim FROM scored
   QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -1314,10 +1429,13 @@ assigned AS (
 
 def q_ivf_assign(spark, sf_dir):
     """IVF coarse quantization: nearest-centroid assignment (broadcast
-    cross-join vs n_centroids rows — the linear half of IVF ANN)."""
+    cross-join vs n_centroids rows — the linear half of IVF ANN).
+    Centroids are TRAINED (hash-seeded init + 2 deterministic Lloyd
+    iterations with exact decimal sums), reproduced identically by the
+    DuckDB oracle."""
     from .operators import similarity
 
-    return similarity.ivf_assign(ld(spark, sf_dir, "embeddings"), 8)
+    return similarity.ivf_assign(ld(spark, sf_dir, "embeddings"), IVF_K)
 
 
 SQL_IVF_ASSIGN = f"WITH {_SQL_IVF_ASSIGN_CTE} SELECT vec_id, centroid_id, centroid_sim FROM assigned"
@@ -1328,7 +1446,9 @@ def q_ivf_topk(spark, sf_dir):
     second scale path beside hyperplane LSH."""
     from .operators import similarity
 
-    return similarity.ivf_topk(ld(spark, sf_dir, "embeddings"), k=3, n_centroids=8)
+    return similarity.ivf_topk(
+        ld(spark, sf_dir, "embeddings"), k=3, n_centroids=IVF_K
+    )
 
 
 SQL_IVF_TOPK = f"""
@@ -1626,6 +1746,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "dedup_near_materialize": (q_dedup_near_materialize, SQL_DEDUP_NEAR),
+    "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR),
     # similarity search
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
