@@ -144,11 +144,11 @@ def run_default() -> None:
     from work_order_pdf_extractor_spark.operators import similarity
 
     hd = spark.read.parquet(_ensure_hd_embeddings(spark))
-    _force(similarity.hyperplane_lsh_buckets(hd))
+    _force(similarity.hyperplane_lsh_buckets_fast(hd))
     hd_sec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        _force(similarity.hyperplane_lsh_buckets(hd))
+        _force(similarity.hyperplane_lsh_buckets_fast(hd))
         hd_sec = min(hd_sec, time.perf_counter() - t0)
     times[f"ann_lsh_{HD_VECS // 1000}k_{HD_DIM}d"] = round(hd_sec, 3)
 
@@ -263,7 +263,7 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
 
     def ann_run() -> tuple[float, dict]:
         obs = Observation()
-        res = similarity.hyperplane_lsh_buckets(hd).observe(
+        res = similarity.hyperplane_lsh_buckets_fast(hd).observe(
             obs,
             F2.expr("bit_xor(xxhash64(vec_id, bucket))").alias("fp"),
             F2.count(F2.lit(1)).alias("n"),

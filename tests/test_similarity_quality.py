@@ -78,6 +78,19 @@ def test_ivf_centroids_deterministic_across_partitionings(spark, emb):
     assert m1 == m2  # bit-identical: decimal sums are order-independent
 
 
+def test_fast_lsh_buckets_match_exact(spark, emb):
+    """The vectorized (numpy-matmul) bucket pass must agree with the
+    decimal-exact oracled variant on every vector."""
+    a = S.hyperplane_lsh_buckets(emb).toPandas().set_index("vec_id").bucket
+    b = (
+        S.hyperplane_lsh_buckets_fast(emb)
+        .toPandas()
+        .set_index("vec_id")
+        .bucket
+    )
+    assert (a.sort_index() == b.sort_index()).all()
+
+
 def test_ivf_recall_within_cells(spark, emb, brute):
     """For queries whose true top-1 neighbor landed in the same IVF cell,
     IVF must return it as rank 1 (the approximation loses only cross-cell

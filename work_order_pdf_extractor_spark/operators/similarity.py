@@ -133,6 +133,56 @@ def hyperplane_lsh_buckets(
 IVF_ITERS = 2
 
 
+def hyperplane_lsh_buckets_fast(
+    df: DataFrame,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized twin of :func:`hyperplane_lsh_buckets` for HIGH-DIM
+    embeddings: one Arrow-batched pass doing a single numpy float64 matmul
+    per batch against the (dims × n_planes) plane matrix — C-speed, still
+    zero shuffle and deterministic (row-local, fixed-order float64 dot).
+
+    The decimal-exact variant exists so the DuckDB oracle's groupBy-SUM
+    matches bit-for-bit; at 256-dim+ the JVM decimal fold costs ~10× more
+    than this matmul, so production uses this path. The two agree unless a
+    projection sits within float64 rounding of zero (asserted empirically
+    in tests over the bench fixture)."""
+    import numpy as np
+    import pandas as _pd
+    from collections.abc import Iterator as _It
+
+    out_schema = f"{id_col} long, bucket int"
+
+    def fn(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        planes_cache: dict[int, "np.ndarray"] = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.array(list(b[vec_col]), dtype=np.float64)
+            dims = mat.shape[1]
+            if dims not in planes_cache:
+                d = np.arange(dims, dtype=np.int64)
+                planes_cache[dims] = np.stack(
+                    [
+                        ((1 + (j * 64 + d) * 2654435761) % 2001 - 1000).astype(
+                            np.float64
+                        )
+                        for j in range(n_planes)
+                    ],
+                    axis=1,
+                )  # (dims, n_planes)
+            proj = mat @ planes_cache[dims]
+            bits = (proj > 0).astype(np.int64)
+            bucket = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield _pd.DataFrame(
+                {id_col: b[id_col].values, "bucket": bucket.astype(np.int32)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
+
+
 def ivf_centroids(
     df: DataFrame,
     n_centroids: int = 8,
@@ -218,11 +268,17 @@ def ivf_assign(
     centroid (:func:`ivf_centroids`). The assignment join is a broadcast
     cross-join against n_centroids rows — O(rows × centroids), never
     O(rows²). Output: (id_col, centroid_id, centroid_sim)."""
-    cents = (
-        centroids
-        if centroids is not None
-        else ivf_centroids(df, n_centroids, IVF_ITERS, id_col, vec_col)
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        # train once, MATERIALIZE the model (n_centroids rows), broadcast:
+        # without this, every downstream reference to the assignment (e.g.
+        # ivf_topk's self-join) would re-execute the whole Lloyd-iteration
+        # subtree — the model is data, not a plan
+        trained = ivf_centroids(df, n_centroids, IVF_ITERS, id_col, vec_col)
+        cents = df.sparkSession.createDataFrame(
+            trained.collect(), trained.schema
+        )
     v = df.select(id_col, F.col(vec_col).alias("vv"))
     sim = F.round(_dot("vv", "cv") / (_norm("vv") * _norm("cv")), 4)
     scored = v.join(F.broadcast(cents)).select(
