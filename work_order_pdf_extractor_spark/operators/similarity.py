@@ -231,13 +231,21 @@ def ivf_centroids(
         scored = v.join(F.broadcast(cents)).select(
             "vid", "vv", "centroid_id", sim.alias("s")
         )
-        aw = Window.partitionBy("vid").orderBy(
-            F.col("s").desc(), F.col("centroid_id")
-        )
+        # argmax via max_by on (sim, -centroid_id): same winner as the
+        # oracle's row_number(ORDER BY sim DESC, centroid_id) but a hash
+        # aggregation with map-side partials instead of a shuffle + sort
         assigned = (
-            scored.withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
-            .select("centroid_id", "vv")
+            scored.groupBy("vid")
+            .agg(
+                F.max_by(
+                    F.struct("centroid_id", "vv"),
+                    F.struct(F.col("s"), (-F.col("centroid_id")).alias("nc")),
+                ).alias("w")
+            )
+            .select(
+                F.col("w.centroid_id").alias("centroid_id"),
+                F.col("w.vv").alias("vv"),
+            )
         )
         ex = assigned.select("centroid_id", F.posexplode("vv").alias("d", "x"))
         means = ex.groupBy("centroid_id", "d").agg(
@@ -284,13 +292,24 @@ def ivf_assign(
     scored = v.join(F.broadcast(cents)).select(
         id_col, "centroid_id", sim.alias("centroid_sim")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("centroid_sim").desc(), F.col("centroid_id")
-    )
+    # argmax via max_by (hash agg, no sort) — winner identical to the
+    # oracle's row_number(ORDER BY centroid_sim DESC, centroid_id)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "centroid_sim")
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "centroid_sim"),
+                F.struct(
+                    F.col("centroid_sim"),
+                    (-F.col("centroid_id")).alias("nc"),
+                ),
+            ).alias("w")
+        )
+        .select(
+            id_col,
+            F.col("w.centroid_id").alias("centroid_id"),
+            F.col("w.centroid_sim").alias("centroid_sim"),
+        )
     )
 
 
