@@ -259,7 +259,15 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
 
     from work_order_pdf_extractor_spark.operators import similarity
 
-    hd = spark.read.parquet(_ensure_hd_embeddings(spark))
+    # replicate 8x in-plan (distinct ids) so the high-core config has
+    # real work per task slot instead of fixed job overhead
+    hd0 = spark.read.parquet(_ensure_hd_embeddings(spark))
+    hd = hd0
+    for i in range(1, 8):
+        hd = hd.unionByName(
+            hd0.withColumn("vec_id", F2.col("vec_id") + F2.lit(i * HD_VECS))
+        )
+    ann_n = HD_VECS * 8
 
     def ann_run() -> tuple[float, dict]:
         obs = Observation()
@@ -288,7 +296,7 @@ def run_extract_once(cores: int, replicate: int = 4) -> None:
                 "turns_per_sec": round(n_turns / sec, 1),
                 "result_fingerprint": int(metrics["fp"]),
                 "result_rows": int(metrics["n"]),
-                "ann_vecs_per_sec": round(HD_VECS / ann_sec, 1),
+                "ann_vecs_per_sec": round(ann_n / ann_sec, 1),
                 "ann_fingerprint": int(ann_m["fp"]),
             }
         )
@@ -344,7 +352,7 @@ def run_scaling() -> None:
     # round-robin rounds: the sandbox VM's throughput drifts ~2x across
     # minutes, so each config gets more than one time window; keep the best
     # run per config (the machine's capability at that parallelism)
-    for _round in range(2):
+    for _round in range(3):
         for cores in (2, 8, 32):
             out = subprocess.run(
                 pinned([sys.executable, __file__, "--extract-once", str(cores)], cores),
