@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship extraction pipeline; ``queries``/``oracle_sql``
-expose the SURVEY §2 operator inventory (56 queries, 55 DuckDB-oracled) from
-``work_order_pdf_extractor_spark.queries.REGISTRY``.
+expose the SURVEY §2 operator inventory (62 queries, all 62 DuckDB-oracled)
+from ``work_order_pdf_extractor_spark.queries.REGISTRY``.
 """
 
 from __future__ import annotations

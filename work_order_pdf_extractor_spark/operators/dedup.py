@@ -109,6 +109,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard ≥ threshold — the VERIFICATION stage of a dedup
     pipeline.
@@ -119,8 +120,14 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs`): Jaccard is computed ONLY for those pairs —
     cost is Σ|shingles(doc1)| over candidate pairs, joined back on
     ``(doc2, shingle)``; never a shingle cross product. This is the 100 TB
-    path (LSH prunes, Jaccard verifies)."""
-    sh = word_shingles(df, n, text_col, id_col)
+    path (LSH prunes, Jaccard verifies). ``shingles`` lets a composed
+    pipeline pass a shared (persisted/materialized) shingle table instead
+    of re-deriving it per stage."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, n, text_col, id_col)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         c = candidates.select("doc1", "doc2")
@@ -165,6 +172,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``n_hashes`` min-hashes over the
     shingle set. Signature size is CONSTANT regardless of document length —
@@ -175,7 +183,11 @@ def minhash_signatures(
     (classic MinHash: ``h_i = (a_i·h + b_i) mod p``) — 8x fewer digest
     computations than per-seed hashing, still cross-engine-exact
     (a_i < 2^31, h < 2^32 ⇒ no 64-bit overflow; p = 2^61-1)."""
-    sh = word_shingles(df, n, text_col, id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, n, text_col, id_col)
+    )
     base = stable_hash64(F.col("shingle"))
     aggs = [
         F.min((F.lit(MH_A(i)) * base + F.lit(MH_B(i))) % F.lit(MH_P)).alias(
@@ -193,12 +205,13 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signatures banded into ``bands`` groups;
     docs sharing any band bucket become candidates. The join key is a band
     hash — linear in corpus size, never quadratic."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes, n, text_col, id_col)
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles)
     # ONE pass over the signatures: bands come from array+explode, not a
     # union of per-band selects (a union would re-execute the whole
     # shingle→minhash subtree once per band)
@@ -391,10 +404,19 @@ def deduplicate_near(
        / connected components; greedy is one anti-join, deterministic, and
        what production dedup pipelines ship.)
 
-    Returns the deduped corpus with the original schema."""
-    cand = minhash_lsh_pairs(df, n_hashes, bands, n, text_col, id_col)
+    Returns the deduped corpus with the original schema.
+
+    The shingle table feeds FOUR consumers here (minhash signatures, the
+    size dim, both sides of the verify join); it is computed once and
+    persisted — the local-mode analog of materializing the shingle/
+    signature table that a 100 TB dedup keeps as its own dataset rather
+    than re-deriving per stage."""
+    sh = word_shingles(df, n, text_col, id_col).persist()
+    cand = minhash_lsh_pairs(
+        df, n_hashes, bands, n, text_col, id_col, shingles=sh
+    )
     verified = ngram_jaccard_pairs(
-        df, n, threshold, text_col, id_col, candidates=cand
+        df, n, threshold, text_col, id_col, candidates=cand, shingles=sh
     )
     dupes = verified.select(F.col("doc2").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")
