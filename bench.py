@@ -118,12 +118,19 @@ def run_default() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: the sandbox VM's throughput drifts 2-3x across
+    # minutes, and the first execution also pays codegen/plan warmup a
+    # long-lived cluster amortizes — one cold sample per round would make
+    # round-over-round comparisons measure VM weather, not the engine
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     # flagship extraction job on the cached transcript fixture; first run
     # warms the pipeline-specific plan, best-of-2 reduces VM noise

@@ -63,3 +63,40 @@ def test_preview_returns_first_turn(spark, transcripts_df, ref_orders_df, golden
     assert rows[0]["conv_id"] == g.conv_id
     assert rows[0]["turn_idx"] == g.turn_idx
     assert (rows[0]["extracted_text"] or "") == (g.extracted_text or "")
+
+
+def test_read_transcripts_jsonl(spark, tmp_path, tiny_transcripts_pd):
+    """JSONL transcript ingestion: write the tiny fixture as line-delimited
+    JSON, read through read_transcripts, per-row equality incl. text with
+    newlines/quotes surviving JSON escaping."""
+    import os
+
+    d = str(tmp_path / "t.jsonl")
+    os.makedirs(d)
+    tiny_transcripts_pd.to_json(
+        os.path.join(d, "part-0.jsonl"), orient="records", lines=True,
+        date_format="iso",
+    )
+    df = S.read_transcripts(spark, d + "/part-0.jsonl")
+    got = df.toPandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    exp = tiny_transcripts_pd.sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    assert len(got) == len(exp)
+    assert got.text.fillna("\0").equals(exp.text.fillna("\0"))
+    assert list(df.columns) == S.REQUIRED_COLUMNS
+
+
+def test_read_jsonl_corrupt_line_degrades(spark, tmp_path):
+    """A malformed JSONL line must degrade (PERMISSIVE null row), never
+    abort the scan — the connector-layer 'failures degrade' rule."""
+    p = str(tmp_path / "c.jsonl")
+    with open(p, "w") as f:
+        f.write('{"conv_id": "a", "turn_idx": 1}\n')
+        f.write("{this is not json\n")
+        f.write('{"conv_id": "b", "turn_idx": 2}\n')
+    df = S.read_jsonl(spark, p, "conv_id string, turn_idx int")
+    rows = df.toPandas()
+    assert len(rows) == 3
+    assert set(rows.conv_id.dropna()) == {"a", "b"}
+    assert rows.conv_id.isna().sum() == 1  # the corrupt line, as nulls

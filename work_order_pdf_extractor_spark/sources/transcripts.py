@@ -35,9 +35,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """JSONL (one JSON object per line) scan with an EXPLICIT schema —
     never ``inferSchema``, which would read the whole corpus once just to
     guess types before reading it again. Spark's json source splits and
-    parallelizes line-delimited files natively; corrupt lines surface in
-    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the scan —
-    the 'failures degrade, never crash' rule at the connector layer."""
+    parallelizes line-delimited files natively; in PERMISSIVE mode (the
+    default) a corrupt line becomes an all-null row (or lands in
+    ``_corrupt_record`` if the schema declares that column) instead of
+    failing the scan — the 'failures degrade, never crash' rule at the
+    connector layer (tested)."""
     return spark.read.schema(schema).json(path)
 
 
