@@ -125,6 +125,14 @@ def test_pipeline_dual_probe_joins_are_broadcast(spark, transcripts_df, ref_orde
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_near_reuses_persisted_shingles(spark):
+    """deduplicate_near shares ONE persisted shingle table across its four
+    consumers — the plan must read it via InMemoryRelation scans instead
+    of re-deriving the split+explode subtree per consumer."""
+    plan = _plan(Q.q_dedup_near_materialize(spark, SF))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
