@@ -410,7 +410,10 @@ def deduplicate_near(
     size dim, both sides of the verify join); it is computed once and
     persisted — the local-mode analog of materializing the shingle/
     signature table that a 100 TB dedup keeps as its own dataset rather
-    than re-deriving per stage."""
+    than re-deriving per stage. The cache block stays registered until
+    Spark's LRU evicts it (or the caller unpersists); at real scale the
+    materialization is an explicit intermediate TABLE with its own
+    lifecycle, not executor cache."""
     sh = word_shingles(df, n, text_col, id_col).persist()
     cand = minhash_lsh_pairs(
         df, n_hashes, bands, n, text_col, id_col, shingles=sh
