@@ -107,3 +107,52 @@ def test_frame_sample_plan(spark, media_df):
     one = plan[plan.media_id == plan.media_id.iloc[0]]
     assert (one.frame_no.values % 10 == 0).all()
     assert one.frame_no.is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# Property tests: decode(build(x)) recovers x exactly, for arbitrary shapes
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    px = lambda x, y: (
+        (x * 31 + seed) % 256, (y * 17 + seed) % 256, (x + y + seed) % 256
+    )
+    d = M.decode_image(M.build_bmp(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["sum_luma"] == sum(
+        M._luma(*px(x, y)) for y in range(h) for x in range(w)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    d = M.decode_audio(M.build_wav(samples, sample_rate=rate))
+    assert d["n_samples"] == len(samples)
+    assert d["sample_rate"] == rate
+    assert d["sum_abs"] == sum(abs(s) for s in samples)
+    assert d["peak"] == max((abs(s) for s in samples), default=0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10), seed=st.integers(0, 10**6)
+)
+def test_ppm_bmp_agree_property(w, h, seed):
+    px = lambda x, y: ((x * 7 + y * 13 + seed) % 256,) * 3
+    a = M.decode_image(M.build_bmp(w, h, px))
+    b = M.decode_image(M.build_ppm(w, h, px))
+    assert a["sum_luma"] == b["sum_luma"]
+    assert a["embedding"] == b["embedding"]

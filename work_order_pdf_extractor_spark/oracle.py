@@ -24,9 +24,14 @@ GOLDEN_COLUMNS = [
 
 
 def extract_goldens(
-    transcripts: pd.DataFrame, reference_orders: set[str] | pd.DataFrame
+    transcripts: pd.DataFrame,
+    reference_orders: set[str] | pd.DataFrame,
+    crop: tuple | None = None,
 ) -> pd.DataFrame:
-    """One golden row per input turn, ordered by (conv_id, turn_idx)."""
+    """One golden row per input turn, ordered by (conv_id, turn_idx).
+    ``crop`` defaults to the engine's DEFAULT_CROP; pass the reference's
+    exact default ``(0, 0, 0.25, 0.25)`` to golden-check that
+    configuration (see core/pdfparse.py DEFAULT_CROP note)."""
     # RAW trimmed reference set + dual probe below — exactly the
     # reference's shape (raw CSV set :976-996; str/int probe :1752-1767)
     # and the mirror of prepare_reference_orders/run_pipeline.
@@ -36,9 +41,12 @@ def extract_goldens(
         ref_set = {str(v).strip() for v in reference_orders}
     ref_set.discard("")
 
+    from .core import pdfparse
+
+    eff_crop = crop if crop is not None else pdfparse.DEFAULT_CROP
     out_rows = []
     for row in transcripts.itertuples(index=False):
-        res = extract_turn(row.text, row.tool)
+        res = extract_turn(row.text, row.tool, crop=eff_crop)
         wo = res["work_order_number"]
         wo_trim = wo.strip() if wo is not None else None
         wo_norm = normalize_key(wo)
