@@ -276,12 +276,15 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 30, bytes_per_frame: int = 1024
+) -> DataFrame:
     """Video frame-sampling PLAN: emits (media_id, frame_no) rows for every
     n-th frame from the metadata frame count — pure plan arithmetic
     (sequence+explode); each sampled frame's decode is the image path.
-    Demonstrates the 1→N fan-out shape for video at scale."""
-    n_frames = (F.col("n_bytes") / 1024).cast("int") + 1  # fake frame count
+    Demonstrates the 1→N fan-out shape for video at scale. The frame count
+    is a stand-in derived from payload size (``n_bytes/bytes_per_frame``)."""
+    n_frames = (F.col("n_bytes") / bytes_per_frame).cast("int") + 1
     return df.select(
         "media_id",
         F.explode(

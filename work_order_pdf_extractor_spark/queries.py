@@ -1628,6 +1628,23 @@ FROM s GROUP BY 1, 2, 3, 4
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: every 2nd frame of a payload-size-derived
+    frame count — the 1→N fan-out shape (sequence + explode), with each
+    sampled frame's decode being the image path."""
+    from .operators import multimodal
+
+    media = multimodal.media_from_documents(ld(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=2, bytes_per_frame=64)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, CAST(frame_no AS INTEGER) AS frame_no
+FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+     LATERAL (SELECT unnest(generate_series(0, CAST(nb // 64 AS INTEGER), 2)) AS frame_no)
+"""
+
+
 # ===========================================================================
 # Connector round-trips (JSONL / CSV sources)
 # ===========================================================================
@@ -1761,6 +1778,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # connectors
     "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
     "csv_source": (q_csv_source, SQL_CSV_SOURCE),
