@@ -131,6 +131,10 @@ def run_default() -> None:
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # drop caches a query persisted for its own internal reuse so one
+        # query's storage blocks don't pressure the next one's execution
+        # memory (isolation between measurements)
+        spark.catalog.clearCache()
 
     # flagship extraction job on the cached transcript fixture; first run
     # warms the pipeline-specific plan, best-of-2 reduces VM noise
