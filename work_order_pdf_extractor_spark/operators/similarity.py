@@ -207,6 +207,11 @@ def ivf_centroids(
     ``df.sample``) and broadcast the result; assignment below is the part
     that touches every row and it stays O(rows × centroids).
     Output: (centroid_id int, cv array<double>)."""
+    # model training touches a bounded sample, so one driver-side schema
+    # probe for the dimensionality is fine (the alternative — posexplode +
+    # per-(cell, dim) groupBy — costs two extra stages per iteration)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dims = int(first["d"]) if first is not None else 0
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -247,20 +252,25 @@ def ivf_centroids(
                 F.col("w.vv").alias("vv"),
             )
         )
-        ex = assigned.select("centroid_id", F.posexplode("vv").alias("d", "x"))
-        means = ex.groupBy("centroid_id", "d").agg(
+        # element-wise mean as `dims` decimal-sum aggregates in ONE groupBy
+        # (exact same values as a posexplode + per-(cell, dim) aggregation,
+        # which the DuckDB oracle uses — decimal sums are order-free)
+        mean_cols = [
             (
-                F.sum(F.col("x").cast("double").cast("decimal(28,9)")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.col("vv")[d].cast("double").cast("decimal(28,9)")
+                ).cast("double")
                 / F.count(F.lit(1))
-            ).alias("m")
-        )
-        cents = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))),
-                lambda s: s.m,
-            ).alias("cv")
+            ).alias(f"m{d}")
+            for d in range(dims)
+        ]
+        cents = (
+            assigned.groupBy("centroid_id")
+            .agg(*mean_cols)
+            .select(
+                "centroid_id",
+                F.array(*[F.col(f"m{d}") for d in range(dims)]).alias("cv"),
+            )
         )
     return cents
 
