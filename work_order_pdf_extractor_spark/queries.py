@@ -1159,8 +1159,6 @@ def q_embedding_near_pairs(spark, sf_dir):
 
 
 def _emb_sql_ctes() -> str:
-    from .operators.dedup import MH_P  # noqa: F401  (same module constants)
-
     dim_sums = ", ".join(
         f"SUM(CAST(CONCAT('0x', substr(md5('{j}#' || w), 1, 8)) AS BIGINT) % 1001 - 500) AS e{j}"
         for j in range(EMB_DIMS)
