@@ -553,6 +553,81 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_sliding(spark, sf_dir):
+    """Sliding (overlapping) event-time window: 48h windows sliding every
+    24h — each event lands in exactly two windows. Completes the window
+    family beside tumbling (`window_tumbling`) and session
+    (`session_window`)."""
+    ev = ld(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "48 hours", "24 hours")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _spark_dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_SLIDING = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 24 HOURS, ts) - j * INTERVAL 24 HOURS AS window_start,
+         value
+  FROM events, LATERAL (SELECT unnest([0, 1]) AS j))
+SELECT window_start, window_start + INTERVAL 48 HOURS AS window_end,
+       COUNT(*) AS n, {_dsum('value')} AS sum_value
+FROM expanded GROUP BY 1
+"""
+
+
+def q_session_window(spark, sf_dir):
+    """Gap-based session window per user (12h inactivity gap): Spark's
+    `session_window` merges events closer than the gap; the session ends
+    at last-event + gap. The DuckDB oracle is the classic gaps-and-islands
+    formulation (lag → new-session flag → running sum → group)."""
+    ev = ld(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "12 hours")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _spark_dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 12 HOURS
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 12 HOURS AS session_end,
+       COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_dedup_materialize(spark, sf_dir):
     """Materialized exact dedup: the corpus with one keeper per duplicate
     group (hash semi-join back — never joins text)."""
@@ -1732,6 +1807,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # windows / ordering
     "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
     "lag_gap": (q_lag_gap, SQL_LAG_GAP),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
