@@ -133,6 +133,43 @@ def test_dedup_near_reuses_persisted_shingles(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The co-located-join claim in SCALE.md, proven on a plan: two tables
+    bucketed+sorted on the join key join with ZERO Exchange — at 100 TB
+    this is the difference between a full network shuffle of both fact
+    tables and a local merge per bucket."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    for name, df, key in (("t_ord", orders, "o_orderkey"), ("t_li", li, "l_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so exchange-freedom comes from
+        # bucketing, not from broadcasting the smaller side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_ord").join(
+            spark.table("t_li"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_ord")
+        spark.sql("DROP TABLE IF EXISTS t_li")
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
