@@ -156,3 +156,30 @@ def test_ppm_bmp_agree_property(w, h, seed):
     b = M.decode_image(M.build_ppm(w, h, px))
     assert a["sum_luma"] == b["sum_luma"]
     assert a["embedding"] == b["embedding"]
+
+
+def test_corrupt_payload_degrades_not_crashes(spark):
+    """A corrupt/unsupported payload becomes a status='decode_failed' row
+    with null features — never a task failure."""
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": pd.array([1, 2], dtype="int64"),
+                "kind": "image",
+                "payload": [
+                    M.build_bmp(3, 3, lambda x, y: (x, y, 0)),
+                    b"\x89PNG not decodable",
+                ],
+                "mime": "image/bmp",
+                "n_bytes": pd.array([99, 18], dtype="int32"),
+            }
+        )
+    )
+    feats = M.image_features(media).toPandas().set_index("media_id")
+    assert feats.loc[1, "status"] == "ok"
+    assert feats.loc[1, "n_px"] == 9
+    assert feats.loc[2, "status"] == "decode_failed"
+    assert pd.isna(feats.loc[2, "width"])
+    assert feats.loc[2, "sha256"]  # checksum still recorded for triage

@@ -53,6 +53,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("sum_luma", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("status", T.StringType()),  # ok | decode_failed
     ]
 )
 
@@ -65,6 +66,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_samples", T.IntegerType()),
         T.StructField("sum_abs", T.LongType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("status", T.StringType()),  # ok | decode_failed
     ]
 )
 
@@ -243,16 +245,52 @@ def decode_audio(payload: bytes) -> dict:
 # Distributed passes
 # ---------------------------------------------------------------------------
 
+def _feature_rows(payloads, decoder, null_template: dict) -> list[dict]:
+    """Decode each payload, degrading corrupt/unsupported ones into a
+    null-feature row with status='decode_failed' — a bad payload must
+    become data, never a task failure that kills a 100 TB job (the same
+    rule as the text pipeline's status='extraction_failed' rows)."""
+    rows = []
+    for p in payloads:
+        try:
+            d = decoder(bytes(p))
+            d["status"] = "ok"
+        except Exception:
+            d = dict(null_template)
+            d["sha256"] = hashlib.sha256(bytes(p)).hexdigest()
+            d["status"] = "decode_failed"
+        rows.append(d)
+    return rows
+
+
+_IMG_NULL = {
+    "sha256": None, "width": None, "height": None, "n_px": None,
+    "sum_luma": None, "mean_luma": None, "embedding": None,
+}
+_AUD_NULL = {
+    "sha256": None, "channels": None, "sample_rate": None,
+    "n_samples": None, "sum_abs": None, "peak": None,
+}
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """media rows → per-image features via one Arrow-batched pass.
 
     The payload column is consumed inside the pass and dropped from the
-    output (same no-payload-shuffle rule as the text pipeline)."""
+    output (same no-payload-shuffle rule as the text pipeline); decode
+    failures degrade to status='decode_failed' rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [decode_image(bytes(p)) for p in b["payload"]]
-            out = pd.DataFrame(feats)
+            feats = _feature_rows(b["payload"], decode_image, _IMG_NULL)
+            # dtype=object keeps int features as Python ints when a
+            # failed row introduces None (float64+NaN would force an
+            # unsafe float->int Arrow cast)
+            out = pd.DataFrame(
+                feats,
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA][1:],
+                dtype=object,
+            )
             out.insert(0, "media_id", b["media_id"].values)
             yield out
 
@@ -262,12 +300,17 @@ def image_features(df: DataFrame) -> DataFrame:
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """media rows → per-clip audio features via one Arrow-batched pass."""
+    """media rows → per-clip audio features via one Arrow-batched pass;
+    decode failures degrade to status='decode_failed' rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [decode_audio(bytes(p)) for p in b["payload"]]
-            out = pd.DataFrame(feats)
+            feats = _feature_rows(b["payload"], decode_audio, _AUD_NULL)
+            out = pd.DataFrame(
+                feats,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA][1:],
+                dtype=object,
+            )
             out.insert(0, "media_id", b["media_id"].values)
             yield out
 
