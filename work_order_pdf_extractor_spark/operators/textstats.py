@@ -44,13 +44,27 @@ def quality_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_chars_col: str = "n_chars",
+    stopwords: tuple[str, ...] = STOPWORDS,
 ) -> DataFrame:
+    """Quality signals per document — length, punctuation ratio, stopword
+    ratio — all JVM-side (split/size/higher-order filter/regexp), one
+    narrow pass."""
     n_tokens = F.size(F.split(text_col, " "))
+    stripped = F.regexp_replace(F.col(text_col), r"[^a-z0-9\s]", "")
+    punct_ratio = F.round(
+        (F.length(text_col) - F.length(stripped)) / F.length(text_col), 6
+    )
+    in_list = ", ".join(f"'{w}'" for w in stopwords)
+    n_stop = F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w IN ({in_list}))")
+    )
     return df.select(
         id_col,
         n_chars_col,
         n_tokens.alias("n_tokens"),
         F.round(F.col(n_chars_col) / n_tokens, 4).alias("chars_per_token"),
+        punct_ratio.alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
         (F.col(n_chars_col) < min_chars).alias("too_short"),
     )
 

@@ -1583,10 +1583,15 @@ def q_quality_score(spark, sf_dir):
     return textstats.quality_scores(ld(spark, sf_dir, "documents"), 50)
 
 
-SQL_QUALITY = """
+SQL_QUALITY = f"""
 SELECT doc_id, n_chars,
        len(string_split(text, ' ')) AS n_tokens,
        ROUND(n_chars / len(string_split(text, ' ')), 4) AS chars_per_token,
+       ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))
+             / length(text), 6) AS punct_ratio,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})))
+             / len(string_split(text, ' ')), 6) AS stop_ratio,
        n_chars < 50 AS too_short
 FROM documents
 """
