@@ -386,6 +386,29 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_approx_percentile(spark, sf_dir):
+    """GK-sketch quantile — the at-scale variant of `percentiles` (same
+    contract-checking shape as `approx_distinct`): the sketch median must
+    land within the exact [p47, p53] band (accuracy=200 ⇒ rank error
+    0.5%, so the band is 6x the guarantee). Oracle asserts the exact
+    median and a TRUE bound."""
+    ev = ld(spark, sf_dir, "events")
+    approx = F.expr("approx_percentile(value, 0.5, 200)")
+    lo = F.expr("percentile(value, 0.47)")
+    hi = F.expr("percentile(value, 0.53)")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        ((approx >= lo) & (approx <= hi)).alias("within_bound"),
+    )
+
+
+SQL_APPROX_PERCENTILE = """
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # Joins (J1-J3 + verification join)
 # ===========================================================================
@@ -1803,6 +1826,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
     # joins
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
