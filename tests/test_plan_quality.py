@@ -133,6 +133,16 @@ def test_dedup_near_reuses_persisted_shingles(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
+def test_temporal_joins_never_nested_loop(spark):
+    """AS-OF is a sort window (no join at all); the range join's
+    inequality stays OUT of the join condition (banded equality keys) —
+    neither may degrade to a BroadcastNestedLoopJoin."""
+    for q in (Q.q_asof_join, Q.q_range_join):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """The co-located-join claim in SCALE.md, proven on a plan: two tables
     bucketed+sorted on the join key join with ZERO Exchange — at 100 TB

@@ -576,6 +576,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (temporal operator Spark lacks as a built-in): for every
+    click, the latest purchase at-or-before it by the same user.
+    Implemented as ONE per-key sort window over the unioned streams; the
+    oracle is DuckDB's native ASOF JOIN — a fully independent
+    implementation of the same semantics."""
+    from .operators import temporal
+
+    ev = ld(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = temporal.asof_join(clicks, purchases, "user_id", "ts", ["value"])
+    return out.select(
+        "event_id", "user_id", "asof_ts", F.col("asof_value")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.ts AS asof_ts, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded range join: purchases within the 24h before each click
+    (count + exact sum), banded into (user, 24h-bucket) hash-join probes —
+    the inequality never reaches the join condition. Oracle: DuckDB's
+    plain inequality join."""
+    from .operators import temporal
+
+    ev = ld(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return temporal.range_join_agg(
+        clicks, purchases, "user_id", "ts", "value",
+        range_seconds=86400, left_id_cols=["event_id"],
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       COUNT(p.ts) AS n_in_range,
+       {_dsum('p.value')} AS sum_in_range
+FROM clicks c LEFT JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts - INTERVAL 24 HOURS AND p.ts <= c.ts
+GROUP BY 1, 2
+"""
+
+
 def q_window_sliding(spark, sf_dir):
     """Sliding (overlapping) event-time window: 48h windows sliding every
     24h — each event lands in exactly two windows. Completes the window
@@ -1833,6 +1900,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
     "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
     "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     # windows / ordering
     "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
