@@ -576,6 +576,51 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the DAILY rollup is computed
+    FROM the hourly pre-aggregates (sum-of-sums / sum-of-counts), never
+    from raw rows — the re-aggregation that makes multi-granularity
+    dashboards O(buckets) instead of O(events) at 100 TB. The partial sums
+    stay DECIMAL through both levels, so the oracle (a direct daily
+    aggregation over raw events) matches exactly — proving the rollup is
+    lossless."""
+    ev = ld(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_dec")
+    )
+    daily = (
+        hourly.groupBy(
+            F.window("hour_start", "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("d.start").cast("timestamp_ntz").alias("day_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return daily
+
+
+SQL_HYPERTABLE_ROLLUP = f"""
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
+       COUNT(*) AS n, {_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF join (temporal operator Spark lacks as a built-in): for every
     click, the latest purchase at-or-before it by the same user.
@@ -1906,6 +1951,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
     "lag_gap": (q_lag_gap, SQL_LAG_GAP),
