@@ -319,6 +319,72 @@ def simhash_near_pairs(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count–Min sketch as a DataFrame composition (Spark ships no CMS
+    operator): ``depth`` md5-seeded hash rows of ``width`` counters; the
+    frequency estimate for a key is the MIN of its ``depth`` counters.
+    Never underestimates; overestimates by at most the collision mass of
+    a 1/width-loaded row (the classic εN bound).
+
+    Plan shape at 100 TB: the sketch BUILD is one map-side-combined
+    groupBy over (row, bucket) — depth×width counters total, independent
+    of corpus size — and the counter table broadcasts everywhere. The
+    estimates here join each distinct key's ``depth`` buckets against
+    that tiny table. Everything is md5-derived, so the estimate values
+    are bit-identical in any engine — the oracle checks the ESTIMATES,
+    not just a bound. Output: (key_col, exact_n, cms_n, never_under)."""
+    buckets = [
+        (stable_hash64(F.col(key_col).cast("string"), seed=i) % width).alias(
+            f"b{i}"
+        )
+        for i in range(depth)
+    ]
+    hashed = df.select(F.col(key_col), *buckets)
+    counters = None
+    for i in range(depth):
+        c = hashed.groupBy(F.col(f"b{i}").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).select(F.lit(i).alias("rw"), "bucket", "cnt")
+        counters = c if counters is None else counters.unionByName(c)
+    keys = hashed.groupBy(key_col, *[f"b{i}" for i in range(depth)]).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    probes = keys.select(
+        key_col,
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rw"), F.col(f"b{i}").alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "exact_n", F.col("p.rw").alias("rw"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(counters), ["rw", "bucket"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        key_col,
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("exact_n")).alias("never_under"),
+    )
+
+
 def doc_embeddings(
     df: DataFrame,
     dims: int = 16,

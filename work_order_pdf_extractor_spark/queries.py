@@ -576,6 +576,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_countmin(spark, sf_dir):
+    """Count–Min sketch frequency estimates for user event counts (the
+    'novel sketch' tier: Spark has no CMS built-in, so it's composed from
+    groupBy + broadcast join). All hashes are md5-derived, so the DuckDB
+    oracle reproduces the ESTIMATES bit-for-bit — a full value check, not
+    a bound check — and `never_under` pins the CMS guarantee in-data."""
+    from .operators import dedup
+
+    return dedup.countmin_estimates(
+        ld(spark, sf_dir, "events"), "user_id",
+        depth=dedup.CMS_DEPTH, width=dedup.CMS_WIDTH,
+    )
+
+
+def _cms_sql(depth: int, width: int) -> str:
+    def bucket(i: int) -> str:
+        return (
+            f"CAST(CONCAT('0x', substr(md5('{i}#' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {width}"
+        )
+
+    hashed_cols = ", ".join(f"{bucket(i)} AS b{i}" for i in range(depth))
+    counters = " UNION ALL ".join(
+        f"SELECT {i} AS rw, b{i} AS bucket, COUNT(*) AS cnt FROM hashed GROUP BY 2"
+        for i in range(depth)
+    )
+    probe_case = " ".join(f"WHEN {i} THEN b{i}" for i in range(depth))
+    bcols = ", ".join(f"b{i}" for i in range(depth))
+    return f"""
+WITH hashed AS (SELECT user_id, {hashed_cols} FROM events),
+counters AS ({counters}),
+keys AS (SELECT user_id, {bcols}, COUNT(*) AS exact_n FROM hashed GROUP BY ALL),
+probes AS (
+  SELECT user_id, exact_n, j AS rw, CASE j {probe_case} END AS bucket
+  FROM keys, LATERAL (SELECT unnest(generate_series(0, {depth - 1})) AS j)),
+est AS (
+  SELECT user_id, exact_n, MIN(cnt) AS cms_n
+  FROM probes JOIN counters USING (rw, bucket) GROUP BY 1, 2)
+SELECT user_id, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est
+"""
+
+
+SQL_COUNTMIN = _cms_sql(4, 256)
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: the DAILY rollup is computed
     FROM the hourly pre-aggregates (sum-of-sums / sum-of-counts), never
@@ -1939,6 +1983,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
+    "countmin": (q_countmin, SQL_COUNTMIN),
     # joins
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
