@@ -127,6 +127,12 @@ def test_normalize_key_col_matches_python_and_survives_ansi(spark):
         "0012", "9" * 25, "0" * 7, " 42 ", "EQ-1", "", "  ",
         "١٢٣",  # unicode digits: NOT normalized (ASCII-only rule)
         "²", "00100", "22809891", "022809891",
+        # non-space whitespace padding (ADVICE r2): Java \s set must be
+        # trimmed identically on both sides, and '00123\n' must count as
+        # digits-only NOWHERE or EVERYWHERE — \A..\z anchoring + trim_ws
+        # make it digits-only everywhere
+        "00123\n", "42\t", "\r\n007\r\n", "5\x0b", "12\f",
+        "\xa055",  # unicode NBSP: NOT in Java \s — stays on both sides
     ]
     df = spark.createDataFrame([(c,) for c in cases], "v string")
     got = [

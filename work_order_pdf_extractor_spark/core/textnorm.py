@@ -13,6 +13,12 @@ import re
 
 _ASCII_DIGITS = re.compile(r"[0-9]+")
 
+# Exactly Java's regex \s class ([ \t\n\x0B\f\r]) — the Spark twin trims with
+# regexp_replace('^\\s+|\\s+$'), so the Python side must strip the SAME set.
+# str.strip() with no args strips unicode whitespace (\xa0,  , …) that
+# Java \s does not, which would flip `matched` on exotic-padded keys.
+_JAVA_WS = " \t\n\x0b\f\r"
+
 # Tokens whose baselines differ by less than this many PDF units are treated
 # as the same text line (rasterized text rarely aligns exactly).
 LINE_Y_TOLERANCE = 2.0
@@ -85,13 +91,16 @@ def normalize_key(value: str | None) -> str | None:
     strip whitespace; if ASCII-digits-only, drop leading zeros (keep one).
 
     ASCII-only by design — ``str.isdigit()`` accepts unicode digits that
-    the Spark twin's ``rlike('^[0-9]+$')`` rejects, and ``int()`` is
+    the Spark twin's anchored ``rlike`` rejects, and ``int()`` is
     unbounded where an ANSI ``cast('long')`` overflows; both sides now use
     the same regex + zero-strip so engine and oracle agree on every input.
+    The strip set is pinned to Java's ``\\s`` class (not ``str.strip()``'s
+    unicode set) so a key padded with '\\xa0' normalizes identically here
+    and in :func:`plans.pipeline.normalize_key_col`.
     """
     if value is None:
         return None
-    v = value.strip()
+    v = value.strip(_JAVA_WS)
     if not v:
         return None
     if _ASCII_DIGITS.fullmatch(v):

@@ -30,23 +30,26 @@ def MH_B(i: int) -> int:
     return 12345 + 789 * i
 
 
-FANOUT_ENABLED = True
+FANOUT_CONF = "spark.workorder.dedup.fanout.enabled"
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Fan a narrow input out to cluster parallelism before explode-heavy
     work. A single small parquet file scans as 1 task, and everything
     downstream of an explode inherits that parallelism until the first
-    shuffle. The repartition is unconditional (behind ``FANOUT_ENABLED``)
-    rather than probing ``df.rdd.getNumPartitions()`` — the probe forces a
-    driver-side conversion of the analyzed plan on every call. What it
-    shuffles is the pre-explode rows (id + text), one round-robin pass; at
-    real scale, where the scan is already wider than the cluster, set
-    ``FANOUT_ENABLED = False`` and the operators run shuffle-free up to
-    their aggregation."""
-    if not FANOUT_ENABLED:
+    shuffle. Gated by the session conf ``spark.workorder.dedup.fanout.
+    enabled`` (default true) — a per-session, runtime-settable switch
+    rather than a mutable module global (ADVICE r2): at real scale, where
+    the scan is already wider than the cluster, ``spark.conf.set(...,
+    'false')`` removes the round-robin shuffle from every dedup/text
+    operator at once and they run shuffle-free up to their aggregation.
+    The gate avoids probing ``df.rdd.getNumPartitions()``, which forces a
+    driver-side conversion of the analyzed plan on every call; what it
+    shuffles when on is the pre-explode rows (id + text), one pass."""
+    spark = df.sparkSession
+    if spark.conf.get(FANOUT_CONF, "true").lower() != "true":
         return df
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    target = min_parts or spark.sparkContext.defaultParallelism
     return df.repartition(target)
 
 

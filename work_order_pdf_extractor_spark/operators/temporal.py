@@ -40,7 +40,13 @@ def asof_join(
     over a window ordered by (ts, side DESC) so a right row at exactly
     left.ts is visible to it. One hash-partition shuffle on the key plus
     a sort — linear, no join blow-up; at 100 TB this is the as-of shape
-    that survives (the naive formulation is a per-row range subquery)."""
+    that survives (the naive formulation is a per-row range subquery).
+
+    Determinism: when several right rows share (key, ts), the window's
+    final tiebreak orders them by their value columns ascending, so
+    ``last()`` picks the lexicographic MAX — a pinned rule instead of
+    partitioning-dependent arbitrary choice (ADVICE r2; DuckDB's native
+    ASOF JOIN picks arbitrarily there, so oracles must pre-reduce ties)."""
     r = right.select(
         F.col(key_col),
         F.col(ts_col),
@@ -50,7 +56,11 @@ def asof_join(
     tagged = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").desc(),
+            *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = tagged.withColumn(

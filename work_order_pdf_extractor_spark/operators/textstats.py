@@ -48,23 +48,35 @@ def quality_scores(
 ) -> DataFrame:
     """Quality signals per document — length, punctuation ratio, stopword
     ratio — all JVM-side (split/size/higher-order filter/regexp), one
-    narrow pass."""
+    narrow pass.
+
+    Zero guards: an empty document gets NULL ratios and ``too_short=true``
+    instead of a divide-by-zero — under Spark 4 ANSI mode an unguarded
+    ``x / 0`` would throw and kill the whole corpus job for one bad row
+    (the 'failures degrade, never crash' rule)."""
     n_tokens = F.size(F.split(text_col, " "))
+    nonempty = F.length(text_col) > 0
     stripped = F.regexp_replace(F.col(text_col), r"[^a-z0-9\s]", "")
-    punct_ratio = F.round(
-        (F.length(text_col) - F.length(stripped)) / F.length(text_col), 6
+    punct_ratio = F.when(
+        nonempty,
+        F.round(
+            (F.length(text_col) - F.length(stripped)) / F.length(text_col), 6
+        ),
     )
     in_list = ", ".join(f"'{w}'" for w in stopwords)
     n_stop = F.size(
         F.expr(f"filter(split({text_col}, ' '), w -> w IN ({in_list}))")
     )
+    safe_tokens = F.when(n_tokens > 0, n_tokens)  # NULL divisor, never 0
     return df.select(
         id_col,
         n_chars_col,
         n_tokens.alias("n_tokens"),
-        F.round(F.col(n_chars_col) / n_tokens, 4).alias("chars_per_token"),
+        F.when(
+            nonempty, F.round(F.col(n_chars_col) / safe_tokens, 4)
+        ).alias("chars_per_token"),
         punct_ratio.alias("punct_ratio"),
-        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
+        F.when(nonempty, F.round(n_stop / safe_tokens, 6)).alias("stop_ratio"),
         (F.col(n_chars_col) < min_chars).alias("too_short"),
     )
 

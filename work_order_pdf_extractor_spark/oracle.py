@@ -15,7 +15,7 @@ import pandas as pd
 
 from .core import fields as field_rules
 from .core.extractor import extract_turn
-from .core.textnorm import normalize_key
+from .core.textnorm import _JAVA_WS, normalize_key
 
 GOLDEN_COLUMNS = [
     "conv_id", "turn_idx", "extracted_text", "spans", "work_order_number",
@@ -35,10 +35,12 @@ def extract_goldens(
     # RAW trimmed reference set + dual probe below — exactly the
     # reference's shape (raw CSV set :976-996; str/int probe :1752-1767)
     # and the mirror of prepare_reference_orders/run_pipeline.
+    # trim set pinned to Java's \s class, matching pipeline.trim_ws (the
+    # Spark regexp_replace twin) — see core.textnorm._JAVA_WS
     if isinstance(reference_orders, pd.DataFrame):
-        ref_set = {str(v).strip() for v in reference_orders["Order"]}
+        ref_set = {str(v).strip(_JAVA_WS) for v in reference_orders["Order"]}
     else:
-        ref_set = {str(v).strip() for v in reference_orders}
+        ref_set = {str(v).strip(_JAVA_WS) for v in reference_orders}
     ref_set.discard("")
 
     from .core import pdfparse
@@ -48,7 +50,7 @@ def extract_goldens(
     for row in transcripts.itertuples(index=False):
         res = extract_turn(row.text, row.tool, crop=eff_crop)
         wo = res["work_order_number"]
-        wo_trim = wo.strip() if wo is not None else None
+        wo_trim = wo.strip(_JAVA_WS) if wo is not None else None
         wo_norm = normalize_key(wo)
         out_rows.append(
             {

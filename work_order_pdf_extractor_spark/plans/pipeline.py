@@ -30,16 +30,26 @@ from ..operators.extract import extract_turns
 from . import skew
 
 
+def trim_ws(col: F.Column) -> F.Column:
+    """Trim Java-``\\s`` whitespace (space/tab/newline/VT/FF/CR) from both
+    ends. ``F.trim`` strips ASCII spaces ONLY, so a key like ``'00123\\n'``
+    would keep its newline here while the Python twin strips it — flipping
+    ``matched`` (ADVICE r2). Both sides now pin the exact same set."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def normalize_key_col(col: F.Column) -> F.Column:
-    """JVM-side equivalent of ``core.textnorm.normalize_key``: trim; if
-    ASCII-digits-only, strip leading zeros (keep one). The zero-strip is a
-    regex, NOT ``cast('long')`` — under Spark 4 ANSI mode a digits-only
-    key longer than 19 chars would throw CAST_INVALID_INPUT and kill the
-    job, violating the 'failures degrade, never crash' rule; the regex is
-    length-unbounded and total."""
-    t = F.trim(col)
+    """JVM-side equivalent of ``core.textnorm.normalize_key``: trim Java-\\s
+    whitespace; if ASCII-digits-only, strip leading zeros (keep one). The
+    zero-strip is a regex, NOT ``cast('long')`` — under Spark 4 ANSI mode a
+    digits-only key longer than 19 chars would throw CAST_INVALID_INPUT and
+    kill the job, violating the 'failures degrade, never crash' rule; the
+    regex is length-unbounded and total. Digit anchoring uses ``\\A``/``\\z``
+    (absolute ends) because Java's ``$`` matches BEFORE a trailing newline,
+    which would misclassify ``'123\\n'`` as digits-only."""
+    t = trim_ws(col)
     return F.when(t == "", None).when(
-        t.rlike("^[0-9]+$"), F.regexp_replace(t, "^0+(?!$)", "")
+        t.rlike(r"\A[0-9]+\z"), F.regexp_replace(t, "^0+(?!$)", "")
     ).otherwise(t)
 
 
@@ -48,7 +58,7 @@ def prepare_reference_orders(ref_df: DataFrame) -> DataFrame:
     ``work_order_extractor.py:976-996``, keeps raw strings; normalization
     happens on the PROBE side via the dual probe in :func:`run_pipeline`,
     mirroring the reference's str/int double lookup :1752-1767)."""
-    t = F.trim(F.col("Order").cast("string"))
+    t = trim_ws(F.col("Order").cast("string"))
     return (
         ref_df.select(t.alias("ref_order"))
         .where(F.col("ref_order").isNotNull() & (F.col("ref_order") != ""))
@@ -93,7 +103,7 @@ def run_pipeline(
     elif n_partitions:
         extracted = extracted.repartition(n_partitions, "conv_id")
     extracted = extracted.withColumn(
-        "wo_trim", F.trim(F.col("work_order_number"))
+        "wo_trim", trim_ws(F.col("work_order_number"))
     ).withColumn("wo_norm", normalize_key_col(F.col("work_order_number")))
 
     ref = (

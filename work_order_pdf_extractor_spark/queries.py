@@ -689,8 +689,13 @@ def q_asof_join(spark, sf_dir):
 SQL_ASOF_JOIN = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+-- pre-reduce (user, ts) ties to MAX(value): DuckDB's native ASOF picks an
+-- ARBITRARY row among equal timestamps, while the engine's window pins the
+-- lexicographic-max tiebreak; after the reduction both semantics coincide
+-- and the oracle stays the independent native-ASOF implementation
 purchases AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT c.event_id, c.user_id, p.ts AS asof_ts, p.value AS asof_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -1727,7 +1732,9 @@ WHERE rank <= 3
 # Text analysis (documents)
 # ===========================================================================
 
-_STOPWORDS = ("the", "a", "of", "and", "to")
+# single source of truth — a hand-copied tuple here would silently diverge
+# from the engine if either side were edited alone (ADVICE r2)
+from .operators.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
 
 
 def q_langid(spark, sf_dir):
@@ -1765,12 +1772,15 @@ def q_quality_score(spark, sf_dir):
 SQL_QUALITY = f"""
 SELECT doc_id, n_chars,
        len(string_split(text, ' ')) AS n_tokens,
-       ROUND(n_chars / len(string_split(text, ' ')), 4) AS chars_per_token,
-       ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))
-             / length(text), 6) AS punct_ratio,
-       ROUND(len(list_filter(string_split(text, ' '),
-                             w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})))
-             / len(string_split(text, ' ')), 6) AS stop_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(n_chars / len(string_split(text, ' ')), 4) END AS chars_per_token,
+       CASE WHEN length(text) > 0 THEN
+         ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))
+               / length(text), 6) END AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(len(list_filter(string_split(text, ' '),
+                               w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})))
+               / len(string_split(text, ' ')), 6) END AS stop_ratio,
        n_chars < 50 AS too_short
 FROM documents
 """
@@ -1906,11 +1916,16 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
 # Connector round-trips (JSONL / CSV sources)
 # ===========================================================================
 
-def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+def _roundtrip_dir(spark, sf_dir: str, kind: str) -> str:
+    """Per-session round-trip scratch dir: keyed by the Spark application
+    id as well as the sf basename, so two concurrent runs over the same sf
+    (e.g. bench and correctness) never race on one directory (ADVICE r2)."""
     import os
 
+    app_id = spark.sparkContext.applicationId
     return os.path.join(
-        "/tmp", f"spark_graft_{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+        "/tmp",
+        f"spark_graft_{kind}_{os.path.basename(sf_dir.rstrip('/'))}_{app_id}",
     )
 
 
@@ -1922,7 +1937,7 @@ def q_jsonl_source(spark, sf_dir):
     JSON escaping. Real transcript corpora commonly arrive as JSONL."""
     from .sources.transcripts import read_jsonl
 
-    out = _roundtrip_dir(sf_dir, "jsonl")
+    out = _roundtrip_dir(spark, sf_dir, "jsonl")
     ld(spark, sf_dir, "documents").coalesce(4).write.mode("overwrite").json(out)
     back = read_jsonl(
         spark, out,
@@ -1945,7 +1960,7 @@ def q_csv_source(spark, sf_dir):
     round-trip representations."""
     from .sources.transcripts import read_csv
 
-    out = _roundtrip_dir(sf_dir, "csv")
+    out = _roundtrip_dir(spark, sf_dir, "csv")
     ev = ld(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
