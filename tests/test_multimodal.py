@@ -57,11 +57,85 @@ def test_wav_roundtrip_exact():
     ).hexdigest()
 
 
-def test_compressed_codecs_are_the_stub_boundary():
+def test_lossy_codecs_are_the_stub_boundary():
+    """PNG is now decodable (stdlib zlib); the remaining documented
+    boundary is lossy-DCT/perceptual codecs (JPEG, MP3)."""
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG\r\n\x1a\nrest")
+        M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03rest")
+
+
+def test_png_roundtrip_exact():
+    """decode(build(img)) through a genuinely COMPRESSED payload (zlib
+    IDAT) recovers dims and every pixel's luma."""
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 16)]:
+        px = lambda x, y: ((x * 50) % 256, (y * 80) % 256, (x + y) % 256)
+        payload = M.build_png(w, h, px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        d = M.decode_image(payload)
+        assert (d["width"], d["height"], d["n_px"]) == (w, h, w * h)
+        expect = sum(M._luma(*px(x, y)) for x in range(w) for y in range(h))
+        assert d["sum_luma"] == expect
+
+
+def test_png_matches_bmp_features():
+    px = lambda x, y: ((x + 3 * y + 7) % 256,) * 3
+    bmp = M.decode_image(M.build_bmp(6, 5, px))
+    png = M.decode_image(M.build_png(6, 5, px))
+    for k in ("width", "height", "n_px", "sum_luma", "mean_luma", "embedding"):
+        assert bmp[k] == png[k], k
+
+
+def _png_with_filters(w, h, px, filters):
+    """Hand-encode a PNG applying the given filter type per scanline
+    (forward-filtering per the PNG spec) — exercises the decoder's
+    reconstruction of Sub/Up/Average/Paeth, which build_png never emits."""
+    import struct as _struct
+    import zlib as _zlib
+
+    stride = w * 3
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        raw = bytearray()
+        for x in range(w):
+            raw += bytes(px(x, y))
+        f = filters[y % len(filters)]
+        out.append(f)
+        for i in range(stride):
+            left = raw[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                v = raw[i]
+            elif f == 1:
+                v = raw[i] - left
+            elif f == 2:
+                v = raw[i] - up
+            elif f == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - M._paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prev = raw
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", _zlib.compress(bytes(out)))
+        + M._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_reconstruct():
+    w, h = 7, 10
+    px = lambda x, y: ((13 * x + 29 * y) % 256, (x * y) % 256, (x + 5 * y) % 256)
+    want = M.decode_image(M.build_png(w, h, px))
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = M.decode_image(_png_with_filters(w, h, px, filters))
+        assert got["sum_luma"] == want["sum_luma"], filters
+        assert got["embedding"] == want["embedding"], filters
 
 
 def test_image_features_distributed_match_local(spark, media_df):

@@ -91,6 +91,90 @@ def test_fast_lsh_buckets_match_exact(spark, emb):
     assert (a.sort_index() == b.sort_index()).all()
 
 
+def test_lsh_topk_salting_changes_nothing(spark, emb):
+    """The (bucket, salt) join must be a pure physical de-skew: identical
+    (qid, nid, sim, rank) output with and without salting."""
+    plain = S.lsh_topk(emb, k=3, n_salts=1).toPandas()
+    salted = S.lsh_topk(emb, k=3, n_salts=4).toPandas()
+    key = ["qid", "nid", "sim", "rank"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = salted[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_salted_join_bounds_per_task_candidates(spark, emb):
+    """No single join task may receive a quadratic hot bucket: with S
+    salts, the probe side of each (bucket, salt) key carries at most
+    ceil(|bucket|/S) query rows — the per-task pair count is
+    |bucket|²/S, not |bucket|². Verified on the actual key histogram."""
+    import math
+
+    S_SALTS = 4
+    b = S.hyperplane_lsh_buckets(emb).toPandas()
+    bucket_sizes = b.bucket.value_counts()
+    from pyspark.sql import functions as F
+
+    salted = (
+        S.hyperplane_lsh_buckets(emb)
+        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(S_SALTS)))
+        .groupBy("bucket", "_salt")
+        .count()
+        .toPandas()
+    )
+    worst = bucket_sizes.max()
+    per_key_max = salted["count"].max()
+    # xxhash64 salting is not perfectly even; allow 2x headroom over the
+    # ideal ceil(|bucket|/S) — still far below the unsalted |bucket|
+    assert per_key_max <= max(2 * math.ceil(worst / S_SALTS), 8), (
+        worst, per_key_max
+    )
+
+
+def test_banded_buckets_smaller_than_single_table(spark, emb):
+    """The OR-construction's point: per-(band, bucket) populations stay
+    2^r-bounded and strictly smaller than the corpus, while the UNION of
+    bands recovers at least the single wide table's candidate recall
+    against brute-force top-1."""
+    bb = S.banded_lsh_buckets(emb, bands=4, planes_per_band=4).toPandas()
+    n_vecs = bb.vec_id.nunique()
+    worst_band_bucket = bb.groupby(["band", "bucket"]).size().max()
+    assert worst_band_bucket < 0.6 * n_vecs, worst_band_bucket
+    # every vector appears exactly once per band
+    assert (bb.groupby("vec_id").size() == 4).all()
+
+
+def test_banded_topk_sims_exact_and_recall(spark, emb, full_pairs, brute):
+    """Banded top-k must (a) report exact cosines for every returned pair,
+    (b) recall at least as many true top-3 neighbors as the single-table
+    lsh_topk — more bands = more chances to collide."""
+    banded = S.lsh_topk_banded(emb, k=3, bands=4, planes_per_band=4).toPandas()
+    assert len(banded) > 0
+    _sims_agree(banded, full_pairs)
+    single = S.lsh_topk(emb, k=3).toPandas()
+    truth = set(brute)
+    got_banded = {(r.qid, r.nid) for r in banded.itertuples()} & truth
+    got_single = {(r.qid, r.nid) for r in single.itertuples()} & truth
+    assert len(got_banded) >= len(got_single), (
+        len(got_banded), len(got_single)
+    )
+
+
+def test_cosine_topk_fast_matches_exact(spark, emb):
+    """The numpy two-phase twin must return EXACTLY the JVM-fold result —
+    same pairs, same rounded sims, same ranks — across partitionings."""
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 7)
+    slow = S.cosine_topk(emb, query_df=q, k=4).toPandas()
+    for parts in (1, 5):
+        fast = S.cosine_topk_fast(emb.repartition(parts), q, k=4).toPandas()
+        key = ["qid", "rank"]
+        a = slow.sort_values(key).reset_index(drop=True)
+        b = fast.sort_values(key).reset_index(drop=True)
+        assert a[["qid", "nid", "rank"]].equals(b[["qid", "nid", "rank"]])
+        assert (a.sim - b.sim).abs().max() == 0.0
+
+
 def test_ivf_recall_within_cells(spark, emb, brute):
     """For queries whose true top-1 neighbor landed in the same IVF cell,
     IVF must return it as rank 1 (the approximation loses only cross-cell

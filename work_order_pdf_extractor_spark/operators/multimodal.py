@@ -9,10 +9,11 @@ boundary (``work_order_extractor.py:1121-1146`` pdf2image render).
 Decoders are stdlib-only and cover exactly the formats the builders emit
 (the same EMIT==PARSE philosophy as ``core/pdfparse.py``):
 
-- image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded) and binary
-  P6 PPM. Compressed codecs (JPEG/PNG) need libjpeg/Pillow, absent in this
-  container — they raise :class:`NotImplementedError`, the one documented
-  stub boundary left in this module.
+- image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded), binary
+  P6 PPM, and non-interlaced 8-bit RGB PNG (zlib inflate + full filter
+  reconstruction — DEFLATE ships in the stdlib, so PNG needs no image
+  library). JPEG (lossy DCT, needs libjpeg) remains the one documented
+  :class:`NotImplementedError` boundary.
 - audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
 - video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
   decode would be the image path above).
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -107,6 +109,33 @@ def build_ppm(width: int, height: int, pixel_fn) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def build_png(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize a non-interlaced 8-bit RGB (color type 2) PNG with
+    filter 0 scanlines and one zlib-compressed IDAT — a REAL compressed
+    payload (the decoder must inflate + unfilter to read it)."""
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None) per scanline
+        for x in range(width):
+            raw += bytes(pixel_fn(x, y))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def build_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Serialize PCM16 mono RIFF/WAVE."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -171,20 +200,91 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, lumas
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """Non-interlaced 8-bit RGB PNG: walk chunks, inflate IDAT, reconstruct
+    all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
+    — a real decoder for any conforming RGB8 image, not only the builder's
+    filter-0 output."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit RGB PNG is supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad raster length")
+    lumas = [0] * (width * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        for x in range(width):
+            lumas[y * width + x] = _luma(
+                line[3 * x], line[3 * x + 1], line[3 * x + 2]
+            )
+        prev = line
+    return width, height, lumas
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode a BMP or P6 PPM payload into exact features.
 
     ``sum_luma``/``n_px`` are integers (oracle-exact); ``mean_luma`` and the
     16-dim 4×4 block-mean ``embedding`` are the float conveniences derived
-    from them. Compressed codecs are the documented stub boundary."""
+    from them. JPEG is the documented stub boundary."""
     if payload[:2] == b"BM":
         width, height, lumas = _decode_bmp(payload)
     elif payload[:2] == b"P6":
         width, height, lumas = _decode_ppm(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, lumas = _decode_png(payload)
     else:
         raise NotImplementedError(
-            "only uncompressed BMP/PPM payloads are decodable without "
-            "image libraries (JPEG/PNG need Pillow/libjpeg)"
+            "only BMP/PPM/PNG payloads are decodable without image "
+            "libraries (JPEG's lossy DCT needs libjpeg)"
         )
     n_px = width * height
     sum_luma = sum(lumas)
@@ -382,6 +482,45 @@ def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/bmp",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def _doc_png_pixel(doc_id: int):
+    """Distinct formula from the BMP fixture ((2x + y + doc_id) mod 256)
+    so a PNG result can never be a silent replay of the BMP path."""
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        v = (2 * x + y + doc_id) % 256
+        return (v, v, v)
+
+    return px
+
+
+def media_png_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic gray PNG per document (same dims formula
+    as the BMP fixture, pixel (x,y) = (2x + y + doc_id) mod 256) — a
+    genuinely COMPRESSED payload: the decoder must inflate the IDAT and
+    reconstruct scanline filters to recover the raster."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = _doc_image_dims(did)
+                payloads.append(build_png(w, h, _doc_png_pixel(did)))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
                     "n_bytes": pd.array(
                         [len(p) for p in payloads], dtype="int32"
                     ),
