@@ -54,6 +54,7 @@ HEADLINE = [
     "token_count",
     "multimodal_decode",
     "png_decode",
+    "pack_chunks",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim
@@ -110,12 +111,17 @@ def run_default() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     tpath = _ensure_bench_fixture()
-    spark = get_spark(app_name="bench", cores=cores)
+    # tuned executor-thread sizing (see TUNED_THREADS): local[N] on N CPUs
+    # oversubscribes ~2x (JVM Arrow feeders + Python workers); leaving
+    # headroom measured ~96k vs ~70k turns/s at 32 CPUs
+    n_req = int(cores) if str(cores).isdigit() else 32
+    threads = TUNED_THREADS.get(n_req, n_req)
+    spark = get_spark(app_name="bench", cores=threads)
 
     # untimed warm-up: JVM JIT + the Python worker pool (worker forks are
     # serialized in this sandbox, ~0.7 s each — a one-time session cost a
     # long-lived cluster would not re-pay per job)
-    n_cores = int(cores) if str(cores).isdigit() else 32
+    n_cores = threads
     spark.range(0, 1_000_000, 1, n_cores).selectExpr("sum(id)").collect()
     spark.range(0, n_cores * 2, 1, n_cores * 2).mapInPandas(
         lambda it: it, schema="id long"

@@ -389,6 +389,50 @@ def ivf_assign(
     )
 
 
+def _group_local_topk_fn(k: int, id_col: str, vec_col: str):
+    """applyInPandas scorer: one group = one bucket/cell; computes the
+    group's cosine matrix with CHUNKED numpy matmuls (bounded memory even
+    on a hot group) and emits each member's local top-``k`` neighbors
+    under the GLOBAL total order (round(sim,4) DESC, nid ASC). Replaces
+    the pair-materializing join + interpreted ``zip_with`` fold — at 10k
+    vectors that fold was scoring 10^7 exploded pairs element-by-element;
+    here the pairs never materialize and the arithmetic is one BLAS call
+    per chunk."""
+    import numpy as np
+    import pandas as _pd
+
+    def fn(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        ids = np.asarray(pdf[id_col].values, dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        m = len(ids)
+        if m < 2:
+            return _pd.DataFrame({"qid": [], "nid": [], "sim": []}).astype(
+                {"qid": "int64", "nid": "int64", "sim": "float64"}
+            )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        take = min(k + 1, m)  # +1: the self-match is removed downstream
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, m, 1024):  # chunk queries: memory ≤ 1024×m sims
+            hi = min(lo + 1024, m)
+            sims = np.round(
+                (mat[lo:hi] @ mat.T) / (norms[lo:hi, None] * norms[None, :]), 4
+            )
+            for qi in range(hi - lo):
+                order = np.lexsort((ids, -sims[qi]))[:take]
+                out_q.append(np.full(take, ids[lo + qi]))
+                out_n.append(ids[order])
+                out_s.append(sims[qi][order])
+        return _pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return fn
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -398,8 +442,11 @@ def ivf_topk(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute-force cosine WITHIN each IVF cell (nprobe=1).
-    The cluster-scale shape: assignment is linear, search is quadratic only
-    within a cell (rows/centroids each). Output: (qid, nid, sim, rank).
+    The cluster-scale shape: assignment is linear; search is one vectorized
+    applyInPandas per cell (chunked numpy matmul — pairs never materialize,
+    only each query's local top-k rows leave the cell). Cells partition the
+    corpus, so per-cell top-k IS the final answer; a light window attaches
+    ranks. Output: (qid, nid, sim, rank).
 
     ``centroids``: pass the materialized model from :func:`ivf_centroids`.
     Training is a property of the corpus, not of a query — deployments
@@ -408,22 +455,17 @@ def ivf_topk(
     and amortize the model across every search. Omitting it re-trains
     per call, which is only acceptable in one-shot verification."""
     assign = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
-    withc = df.join(assign.select(id_col, "centroid_id"), id_col)
-    a = withc.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "centroid_id"
+    withc = df.select(id_col, vec_col).join(
+        assign.select(id_col, "centroid_id"), id_col
     )
-    c = withc.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "centroid_id"
-    )
-    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
-    pairs = (
-        a.join(c, "centroid_id")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", sim.alias("sim"))
+    local = withc.groupBy("centroid_id").applyInPandas(
+        _group_local_topk_fn(k, id_col, vec_col),
+        schema="qid long, nid long, sim double",
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local.filter(F.col("qid") != F.col("nid"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )
@@ -531,30 +573,27 @@ def lsh_topk_banded(
     ANY band (deduped), then exact cosine + rank over candidates only.
     Output: (qid, nid, sim, rank).
 
-    Plan: the band join runs on the small (id, band, bucket) table —
-    vectors are NOT carried through the candidate join, so the dedup
-    (one pair may collide in several bands) shuffles ids only; vectors are
-    gathered afterwards by two id-equality joins. At 100 TB: candidate
-    generation is |bucket|²-bounded per (band, bucket) with 2^r-sized
-    buckets, the gather is linear in candidates."""
+    Plan: one vectorized applyInPandas per (band, bucket) group emits each
+    member's LOCAL top-(k+1) under the global total order; the union over
+    bands provably contains the global top-k (if x is a global top-k
+    neighbor of q, then in ANY bucket both share, fewer than k candidates
+    beat x — they would be global top-k too — so x survives the local
+    cut). Duplicate pairs from multi-band collisions carry bit-identical
+    sims (same deterministic matmul on the same two vectors), so a
+    ``distinct`` collapses them before the final window. Pairs never
+    materialize; Arrow traffic is ``bands`` copies of the vectors and the
+    shuffle carries O(rows × bands × k) candidate rows."""
     bb = banded_lsh_buckets(df, bands, planes_per_band, id_col, vec_col)
-    a = bb.select(F.col(id_col).alias("qid"), "band", "bucket")
-    c = bb.select(F.col(id_col).alias("nid"), "band", "bucket")
-    cand = (
-        a.join(c, ["band", "bucket"])
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
-    )
-    qv = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    sim = F.round(_dot("qv", "nv") / (_norm("qv") * _norm("nv")), 4)
-    pairs = cand.join(qv, "qid").join(nv, "nid").select(
-        "qid", "nid", sim.alias("sim")
+    withv = df.select(id_col, vec_col).join(bb, id_col)
+    local = withv.groupBy("band", "bucket").applyInPandas(
+        _group_local_topk_fn(k, id_col, vec_col),
+        schema="qid long, nid long, sim double",
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local.filter(F.col("qid") != F.col("nid"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )

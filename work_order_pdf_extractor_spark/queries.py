@@ -2044,6 +2044,100 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
 
 
 # ===========================================================================
+# Sampling / splitting / sequence packing (training-data layout stage)
+# ===========================================================================
+
+SAMPLE_FRACTION = 0.2
+TRAIN_FRACTION = 0.8
+PACK_BUDGET = 256
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 20% stratified sample per language: md5-hash-threshold
+    membership (reproducible across engines/partitionings/reruns — what
+    makes a 100 TB corpus build auditable), equal rates per stratum by
+    construction. Row-local predicate, zero shuffle."""
+    from .operators import sampling
+
+    return sampling.stratified_sample(
+        ld(spark, sf_dir, "documents"), SAMPLE_FRACTION, "lang", "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(CONCAT('0x', substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000 < {int(SAMPLE_FRACTION * 10000)}
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/20 train/test assignment by id hash — leakage-safe
+    (membership depends on the id only, never on row order or partition),
+    stable across reruns."""
+    from .operators import sampling
+
+    return sampling.train_test_split(
+        ld(spark, sf_dir, "documents"), TRAIN_FRACTION
+    ).select("doc_id", "lang", "split")
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 < {int(TRAIN_FRACTION * 10000)}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style sequence packing: per source shard, documents concatenate
+    in doc_id order and cut into fixed 256-token chunks (documents straddle
+    boundaries). One window per shard for the running prefix + sequence/
+    explode over spanned chunks — sequential per shard BY SEMANTICS,
+    parallel across shards (the production packing shape)."""
+    from .operators import sampling
+
+    docs = ld(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return sampling.pack_chunks(
+        docs, PACK_BUDGET, shard_col="source", order_col="doc_id",
+        token_col="n_tokens", id_col="doc_id",
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH toks AS (
+  SELECT source AS shard, doc_id AS id,
+         len(string_split(text, ' ')) AS tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+pre AS (
+  SELECT shard, id, tok,
+         COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM toks),
+spans AS (
+  SELECT shard, id, tok, bef,
+         CAST(bef // {PACK_BUDGET} AS BIGINT) AS first_c,
+         CAST((bef + tok - 1) // {PACK_BUDGET} AS BIGINT) AS last_c
+  FROM pre),
+ex AS (
+  SELECT shard, id, tok, bef, chunk_id
+  FROM spans, LATERAL (SELECT unnest(generate_series(first_c, last_c)) AS chunk_id))
+SELECT shard, CAST(chunk_id AS INTEGER) AS chunk_id, id,
+       CAST(GREATEST(chunk_id*{PACK_BUDGET}, bef) - bef AS INTEGER) AS doc_off,
+       CAST(GREATEST(chunk_id*{PACK_BUDGET}, bef) - chunk_id*{PACK_BUDGET} AS INTEGER) AS chunk_off,
+       CAST(LEAST((chunk_id+1)*{PACK_BUDGET}, bef + tok)
+            - GREATEST(chunk_id*{PACK_BUDGET}, bef) AS INTEGER) AS n_tok
+FROM ex
+"""
+
+
+# ===========================================================================
 # Connector round-trips (JSONL / CSV sources)
 # ===========================================================================
 
@@ -2147,6 +2241,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
     "csv_source": (q_csv_source, SQL_CSV_SOURCE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     # -- block 2: one green row on current code --------------------------
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
