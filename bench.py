@@ -72,6 +72,39 @@ def _force(df) -> int:
     return 0
 
 
+def _hw_probe() -> dict:
+    """Spark-free machine-speed probe, reported alongside every bench so
+    round-over-round numbers can be read against the VM's actual speed in
+    that window (observed drift on this sandbox: the SAME pure-numpy job
+    varies 4x across minutes — without a probe, engine regressions and
+    noisy-neighbor windows are indistinguishable).
+
+    - ``gflops``: float64 BLAS matmul (compute ceiling)
+    - ``membw_gbs``: large-array copy (memory-bandwidth ceiling — the
+      binding resource for Arrow/parquet scans and hash joins)
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((1500, 1500))
+    b = rng.random((1500, 1500))
+    best_mm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ b
+        best_mm = min(best_mm, time.perf_counter() - t0)
+    big = rng.random(50_000_000)  # 400 MB
+    best_cp = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        big.copy()
+        best_cp = min(best_cp, time.perf_counter() - t0)
+    return {
+        "gflops": round(2 * 1500**3 / best_mm / 1e9, 1),
+        "membw_gbs": round(2 * big.nbytes / best_cp / 1e9, 1),
+    }
+
+
 def _ensure_bench_fixture(scale: str = "bench") -> str:
     from work_order_pdf_extractor_spark import fixtures
 
@@ -209,6 +242,9 @@ def run_default() -> None:
                 "extract_turns_per_sec": round(n_turns / ext_sec, 1),
                 "ann_vecs_per_sec": round(HD_VECS / hd_sec, 1),
                 "cores": cores,
+                # machine-speed normalizer for round-over-round reads
+                # (this VM drifts 2-4x across minutes; see BENCH/BASELINE.md)
+                "hw_probe": _hw_probe(),
             }
         )
     )
@@ -501,6 +537,12 @@ def run_scaling() -> None:
             "regime the ≥0.8 rule assumes — and the engine's only cross-executor "
             "dependency is one shuffle of small extracted rows plus a broadcast, both "
             "O(rows), not O(payload bytes).\n"
+            "- Reading per-round BENCH_r{N}.json numbers: every default-bench run now "
+            "embeds `hw_probe` (numpy float64 matmul GFLOPs + 400 MB copy GB/s, "
+            "Spark-free). This sandbox's throughput drifts 2-4x across minutes "
+            "(observed: the byte-identical 50k×256 numpy LSH job measured 0.44 s and "
+            "1.74 s thirty minutes apart), so compare rounds against their probes, "
+            "not raw seconds.\n"
         )
 
 
