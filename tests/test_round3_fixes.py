@@ -50,6 +50,22 @@ def test_asof_join_tiebreak_is_deterministic(spark):
         assert out[0].asof_v == 99.0
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation must assign the min id transitively (a~b~c →
+    all labeled a), leave singletons self-labeled, and converge identically
+    across partitionings."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 6), (4, 5)], "doc1 long, doc2 long"
+    )
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 6: 1, 4: 4, 5: 4}
+    for parts in (1, 4):
+        comp = dedup.connected_components(
+            nodes.repartition(parts), edges.repartition(parts)
+        ).toPandas()
+        assert dict(zip(comp.doc_id, comp.component_id)) == want
+
+
 def test_dedup_fanout_is_conf_gated(spark):
     df = spark.range(0, 10, 1, 1).select(
         F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")

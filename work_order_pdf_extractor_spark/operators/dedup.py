@@ -450,6 +450,68 @@ def embedding_near_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the near-dup graph by MIN-LABEL PROPAGATION:
+    every node starts labeled with its own id; each round every node takes
+    the min of its own and its neighbors' labels; fixpoint = the component
+    id is the minimum node id of the component. Deterministic (the fixpoint
+    is unique) regardless of partitioning or round count. Output:
+    ``(id_col, component_id)`` — singletons label themselves.
+
+    This is the exact duplicate-CLUSTER semantics that the greedy
+    keeper rule of :func:`deduplicate_near` approximates: under a chain
+    a~b~c greedy and components agree on the keeper (min id), but
+    components also give the cluster assignment itself, which training
+    pipelines keep (cluster size features, one-per-cluster sampling).
+
+    Scale shape: each round is one hash join (edges × labels) + one
+    map-side-combinable min aggregation — O(|E|) per round, O(diameter)
+    rounds; convergence is detected by the monotone label sum (labels only
+    ever decrease), and each round's result is ``localCheckpoint``-ed so
+    the plan does not grow with iterations. Production systems bound
+    rounds to O(log N) with the large-star/small-star transform
+    (Kiveris et al.) — the per-round join shape below is the same; this
+    implementation trades that for simplicity since near-dup components
+    are overwhelmingly tiny (diameter ≤ a few)."""
+    e = edges.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    both = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            both.join(labels, both["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+            .withColumnRenamed("a", "nid")
+        )
+        labels = (
+            labels.join(neigh, labels["id"] == neigh["nid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("comp")).first()[0]
+        if s == prev_sum:  # labels only decrease → fixpoint reached
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("id").alias(id_col), F.col("comp").alias("component_id")
+    )
+
+
 def deduplicate_near(
     df: DataFrame,
     n: int = 3,

@@ -1477,8 +1477,9 @@ def q_dedup_near_materialize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
-SQL_DEDUP_NEAR = f"""
-WITH shingles AS ({_SQL_SHINGLES}),
+# the LSH-candidates → Jaccard-verified near-dup pair CTEs, shared by the
+# dedup materializer and the connected-components clustering oracle
+_SQL_VERIFIED_CTES = f"""shingles AS ({_SQL_SHINGLES}),
 sig AS (
   SELECT doc_id,
     {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
@@ -1502,9 +1503,49 @@ common AS (
 verified AS (
   SELECT doc1, doc2 FROM common
   JOIN sizes z1 ON doc1 = z1.doc_id JOIN sizes z2 ON doc2 = z2.doc_id
-  WHERE ROUND(n_common / (z1.n_sh + z2.n_sh - n_common), 6) >= 0.6)
+  WHERE ROUND(n_common / (z1.n_sh + z2.n_sh - n_common), 6) >= 0.6)"""
+
+
+SQL_DEDUP_NEAR = f"""
+WITH {_SQL_VERIFIED_CTES}
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc2 FROM verified)
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER assignment: connected components over the
+    verified near-dup pair graph by min-label propagation (component id =
+    min doc id of the cluster — the exact cluster semantics the greedy
+    keeper rule approximates; training pipelines keep the assignment for
+    cluster-size features and one-per-cluster sampling). Oracle: a DuckDB
+    recursive-CTE transitive closure — a fully independent implementation
+    of the same fixpoint."""
+    from .operators import dedup
+
+    docs = ld(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, 3).persist()
+    cand = dedup.minhash_lsh_pairs(
+        docs, N_MINHASH, LSH_BANDS, 3, shingles=sh
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        docs, 3, 0.6, candidates=cand, shingles=sh
+    )
+    return dedup.connected_components(
+        docs.select("doc_id"), verified.select("doc1", "doc2")
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_VERIFIED_CTES},
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM verified
+  UNION ALL SELECT doc2, doc1 FROM verified),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a)
+SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
 """
 
 
@@ -2244,6 +2285,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     # -- block 2: one green row on current code --------------------------
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
