@@ -133,6 +133,33 @@ def test_dedup_near_reuses_persisted_shingles(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
+def test_ann_search_is_vectorized_grouped(spark):
+    """The within-cell/bucket scorers must run as grouped-map Pandas
+    stages (one numpy matmul per group) — never a pair-materializing join
+    scored by interpreted higher-order folds. The ONLY nested-loop join
+    allowed in the IVF plan is the deliberate broadcast CROSS join of
+    vectors × the K-row centroid model (assignment is O(rows × K) with no
+    equi-key, so BNLJ-with-tiny-broadcast-build is the correct physical
+    choice); the banded plan must have none at all."""
+    ivf = _plan(Q.q_ivf_topk(spark, SF))
+    assert "FlatMapGroupsInPandas" in ivf
+    assert ivf.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in ivf or (
+        "BroadcastNestedLoopJoin" not in ivf
+    )
+    banded = _plan(Q.q_lsh_topk_banded(spark, SF))
+    assert "FlatMapGroupsInPandas" in banded
+    assert "BroadcastNestedLoopJoin" not in banded
+
+
+def test_lsh_topk_join_key_is_salted(spark):
+    """The single-table LSH top-k must join on (bucket, salt): the salt
+    bounds one hot bucket's work to |bucket|^2/S per task."""
+    plan = _plan(Q.q_lsh_topk(spark, SF))
+    assert "_salt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_temporal_joins_never_nested_loop(spark):
     """AS-OF is a sort window (no join at all); the range join's
     inequality stays OUT of the join condition (banded equality keys) —

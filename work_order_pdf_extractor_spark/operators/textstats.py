@@ -38,6 +38,42 @@ def langid_scores(
     )
 
 
+# Frequent-English character-trigram profile (fixed, engine-independent):
+# the classic n-gram langid heuristic scores a document by how many profile
+# n-grams it contains. 16 trigrams keep the predicate row-local and cheap.
+EN_TRIGRAMS = (
+    " th", "the", "he ", "ing", "ng ", " an", "and", "nd ",
+    " of", "of ", " to", "to ", "ed ", " in", "in ", "er ",
+)
+
+
+def langid_ngram_scores(
+    df: DataFrame,
+    trigrams: tuple[str, ...] = EN_TRIGRAMS,
+    threshold: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-n-gram language ID: score = fraction of profile trigrams
+    present in the document. Pure row-local expression (one ``instr`` per
+    profile entry — no explode, no shuffle, pushdown-friendly), the
+    other member of the n-gram-heuristic family beside the stopword-ratio
+    scorer (:func:`langid_scores`)."""
+    hits = sum(
+        F.when(F.instr(F.col(text_col), t) > 0, 1).otherwise(0)
+        for t in trigrams
+    )
+    score = F.round(hits / F.lit(len(trigrams)), 6)
+    return df.select(
+        id_col,
+        hits.cast("int").alias("n_hits"),
+        score.alias("ngram_score"),
+        F.when(score >= threshold, "en").otherwise("other").alias(
+            "predicted_lang"
+        ),
+    )
+
+
 def quality_scores(
     df: DataFrame,
     min_chars: int = 50,

@@ -1478,8 +1478,12 @@ def q_dedup_near_materialize(spark, sf_dir):
 
 
 # the LSH-candidates → Jaccard-verified near-dup pair CTEs, shared by the
-# dedup materializer and the connected-components clustering oracle
-_SQL_VERIFIED_CTES = f"""shingles AS ({_SQL_SHINGLES}),
+# dedup materializer, the connected-components clustering oracle, and the
+# composed corpus-build oracle (parametrized on the source CTE so the
+# near-dup stage can run over an already-filtered subset)
+def _sql_verified_ctes(src: str = "documents") -> str:
+    shingles_src = _SQL_SHINGLES.replace("FROM documents", f"FROM {src}")
+    return f"""shingles AS ({shingles_src}),
 sig AS (
   SELECT doc_id,
     {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
@@ -1504,6 +1508,9 @@ verified AS (
   SELECT doc1, doc2 FROM common
   JOIN sizes z1 ON doc1 = z1.doc_id JOIN sizes z2 ON doc2 = z2.doc_id
   WHERE ROUND(n_common / (z1.n_sh + z2.n_sh - n_common), 6) >= 0.6)"""
+
+
+_SQL_VERIFIED_CTES = _sql_verified_ctes()
 
 
 SQL_DEDUP_NEAR = f"""
@@ -1546,6 +1553,43 @@ reach(src, dst) AS (
   UNION
   SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a)
 SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+"""
+
+
+CORPUS_SAMPLE_FRACTION = 0.5
+
+
+def q_corpus_build(spark, sf_dir):
+    """The COMPOSED corpus build a training-data user actually ships:
+    quality filter (drop too_short) → exact dedup (min-id keeper per
+    content hash) → near-dup drop (LSH candidates → Jaccard verify →
+    greedy keeper) → 50% stratified sample per language. Every stage is an
+    already-oracled operator; this query proves they compose into one
+    lazy plan (one action materializes the corpus). The oracle replays the
+    full composition as chained CTEs."""
+    from .operators import dedup, sampling, textstats
+
+    docs = ld(spark, sf_dir, "documents")
+    qs = textstats.quality_scores(docs, 50)
+    keep = docs.join(
+        qs.filter(~F.col("too_short")).select("doc_id"), "doc_id", "left_semi"
+    )
+    d1 = dedup.deduplicate_exact(keep)
+    d2 = dedup.deduplicate_near(d1, n=3, threshold=0.6)
+    return sampling.stratified_sample(
+        d2, CORPUS_SAMPLE_FRACTION, "lang", "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_CORPUS_BUILD = f"""
+WITH q AS (SELECT * FROM documents WHERE NOT (n_chars < 50)),
+ex AS (SELECT * FROM q
+       WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY md5(text))),
+{_sql_verified_ctes('ex')},
+kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc2 FROM verified))
+SELECT doc_id, lang, source, n_chars FROM kept
+WHERE CAST(CONCAT('0x', substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000 < {int(CORPUS_SAMPLE_FRACTION * 10000)}
 """
 
 
@@ -1898,6 +1942,35 @@ SELECT doc_id, n_tokens, n_stop,
        ROUND(n_stop / n_tokens, 6) AS stop_ratio,
        CASE WHEN ROUND(n_stop / n_tokens, 6) >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang
 FROM agg
+"""
+
+
+def q_langid_ngram(spark, sf_dir):
+    """Character-n-gram language ID (the second member of the n-gram-
+    heuristic family beside the stopword scorer): score = fraction of a
+    fixed frequent-English trigram profile present in the document —
+    row-local `instr` predicates, zero shuffle."""
+    from .operators import textstats
+
+    return textstats.langid_ngram_scores(ld(spark, sf_dir, "documents"))
+
+
+def _sql_trigram_hits() -> str:
+    from .operators.textstats import EN_TRIGRAMS
+
+    return " + ".join(
+        f"CASE WHEN position('{t}' IN text) > 0 THEN 1 ELSE 0 END"
+        for t in EN_TRIGRAMS
+    )
+
+
+SQL_LANGID_NGRAM = f"""
+SELECT doc_id,
+       CAST(({_sql_trigram_hits()}) AS INTEGER) AS n_hits,
+       ROUND(({_sql_trigram_hits()}) / 16, 6) AS ngram_score,
+       CASE WHEN ROUND(({_sql_trigram_hits()}) / 16, 6) >= 0.25
+            THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents
 """
 
 
@@ -2286,6 +2359,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
+    "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     # -- block 2: one green row on current code --------------------------
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
