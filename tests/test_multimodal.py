@@ -4,6 +4,7 @@ Arrow batch path, frame-sample fan-out."""
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pytest
 
@@ -57,13 +58,74 @@ def test_wav_roundtrip_exact():
     ).hexdigest()
 
 
-def test_lossy_codecs_are_the_stub_boundary():
-    """PNG is now decodable (stdlib zlib); the remaining documented
-    boundary is lossy-DCT/perceptual codecs (JPEG, MP3)."""
+def test_remaining_codec_boundary_is_explicit():
+    """Baseline grayscale JPEG is now decodable (core/jpegcodec.py); the
+    remaining documented boundaries — progressive/color JPEG, perceptual
+    audio (MP3) — reject explicitly rather than mis-decoding."""
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    flat = J.encode_baseline_gray(8, 8, [7] * 64)
+    # SOF0 -> SOF2 marker: progressive
+    progressive = flat.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
+        M.decode_image(progressive)
+    # truncated garbage after SOI is corrupt, not "unsupported"
+    with pytest.raises((ValueError, IndexError, KeyError, struct.error)):
         M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x03rest")
+
+
+def test_jpeg_block_constant_roundtrip_bit_exact():
+    """An 8x8-block-constant raster under the flat quant table round-trips
+    BIT-EXACTLY through the full FDCT->Huffman->decode pipeline (AC
+    coefficients are analytically zero) — the property the integer-exact
+    jpeg_decode oracle relies on."""
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    w, h = 32, 24
+    img = [
+        ((x // 8) + 2 * (y // 8) + 5) % 256 for y in range(h) for x in range(w)
+    ]
+    dw, dh, lumas = J.decode_baseline_gray(J.encode_baseline_gray(w, h, img))
+    assert (dw, dh) == (w, h)
+    assert lumas == img
+
+
+def test_jpeg_flat_quant_near_lossless_and_std_quant_lossy():
+    """Arbitrary content: flat quant table is near-lossless (|err| <= 1
+    per pixel, float FDCT/IDCT rounding only); the Annex K table is
+    genuinely lossy yet compresses smaller and preserves the mean."""
+    import random
+
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    rng = random.Random(7)
+    w, h = 19, 13  # non-multiple-of-8: exercises pad + crop
+    img = [rng.randrange(256) for _ in range(w * h)]
+    p_flat = J.encode_baseline_gray(w, h, img)
+    dw, dh, flat = J.decode_baseline_gray(p_flat)
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(flat, img)) <= 1
+    p_std = J.encode_baseline_gray(w, h, img, quant=J.STD_LUMA_QUANT)
+    _, _, lossy = J.decode_baseline_gray(p_std)
+    assert len(p_std) < len(p_flat)
+    assert abs(sum(lossy) / len(lossy) - sum(img) / len(img)) < 10
+
+
+def test_jpeg_rejects_color_and_16bit_quant():
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    flat = J.encode_baseline_gray(8, 8, list(range(64)))
+    sof_at = flat.index(b"\xff\xc0")
+    ncomp_at = sof_at + 4 + 5  # marker(2) + len(2) + precision(1) + dims(4)
+    color = flat[:ncomp_at] + b"\x03" + flat[ncomp_at + 1 :]
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline_gray(color)
+    dqt_at = flat.index(b"\xff\xdb")
+    wide = flat[: dqt_at + 4] + b"\x10" + flat[dqt_at + 5 :]
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline_gray(wide)
 
 
 def test_png_roundtrip_exact():

@@ -1,0 +1,346 @@
+"""Baseline-sequential grayscale JPEG (ITU-T T.81 / JFIF) codec, stdlib+numpy.
+
+Closes the last compressed-codec gap vs the reference's raster stage
+(``work_order_extractor.py:1121-1146``, pdf2image/poppler render): the
+engine can now emit AND parse a real entropy-coded DCT payload — markers,
+Annex K Huffman tables, FDCT/quantize/zigzag on the encode side; marker
+walk, canonical-Huffman bitstream decode, dequantize, float IDCT on the
+decode side. Same EMIT==PARSE philosophy as ``core/pdfparse.py``: the
+supported subset is explicit (baseline sequential, 8-bit, ONE component,
+no subsampling, no restart intervals) and everything outside
+it raises ``NotImplementedError`` so callers degrade to status rows.
+
+Oracle-exactness: JPEG is lossy in general, but an image whose 8x8 blocks
+are each CONSTANT has only a DC coefficient (AC analytically zero), and
+with a flat all-ones quantization table the round-trip is bit-exact —
+``decode(encode(img)) == img`` — so the driver's integer value-hash
+oracle can predict ``sum_luma`` analytically while the codec underneath
+is the real DCT pipeline, not a lookup. Property-tested in
+``tests/test_multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- 8x8 orthonormal DCT-II matrix: F = C @ B @ C.T, B = C.T @ F @ C ------
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else np.sqrt(0.25)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# Zigzag order: ZIGZAG[i] = (row-major) index of the i-th zigzag coefficient.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+FLAT_QUANT = [1] * 64  # near-lossless table used by the exact fixtures
+
+# ITU-T T.81 Annex K.1 — the example luminance quantization table.
+STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# ITU-T T.81 Annex K.3 — luminance DC/AC Huffman specs as (BITS, HUFFVAL):
+# BITS[i] = number of codes of length i+1; HUFFVAL = symbols in code order.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for MSB-first sequential decode."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2: value -> (category size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: appended bits -> signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc, self._n = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self._acc, self._n = 0, 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: needs DC-predictor resets
+                raise NotImplementedError("restart markers unsupported")
+            else:
+                raise ValueError(f"marker 0xFF{nxt:02X} inside scan")
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_baseline_gray(
+    width: int, height: int, samples: list[int], quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale ``samples`` (row-major, len == width*height)
+    as a baseline-sequential JFIF: real FDCT, quantization (row-major
+    ``quant``, default :data:`FLAT_QUANT`), zigzag, Annex-K Huffman with
+    DC prediction, run-length AC with EOB/ZRL, and byte stuffing. Edge
+    blocks are replicate-padded (the decoder crops)."""
+    q = list(quant or FLAT_QUANT)
+    img = np.asarray(samples, dtype=np.float64).reshape(height, width)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _C @ block @ _C.T
+            qcoef = np.round(coef / qmat).astype(np.int64)
+            zz = [int(qcoef.flat[ZIGZAG[i]]) for i in range(64)]
+            size, bits = _magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, ln = dc_codes[size]
+            w.write(code, ln)
+            if size:
+                w.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(zz[i])
+                code, ln = ac_codes[(run << 4) | size]
+                w.write(code, ln)
+                w.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+    w.flush()
+
+    zz_quant = bytes(min(255, max(1, q[ZIGZAG[i]])) for i in range(64))
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+        + _seg(0xDB, bytes([0x00]) + zz_quant)  # DQT, table 0, 8-bit
+        + _seg(  # SOF0: baseline, 8-bit, 1 component, 1x1 sampling
+            0xC0,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        )
+        + _seg(0xC4, dht)  # DHT: DC table 0 + AC table 0
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        + bytes(w.out)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a baseline-sequential 8-bit single-component JPEG: marker
+    walk (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode with DC
+    prediction, dequantize, inverse zigzag, float IDCT, level shift,
+    clamp, crop. Anything outside the subset (progressive SOF2, >1
+    component, subsampling, 16-bit quant, restart intervals) raises
+    ``NotImplementedError``; corrupt streams raise ``ValueError``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comp_quant = comp_dc = comp_ac = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = data[off + 1 + i]
+                quants[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xC0:  # SOF0
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit single-component (grayscale) JPEG"
+                )
+            if data[7] != 0x11:  # per-component: id, sampling, quant tbl
+                raise NotImplementedError("subsampling unsupported")
+            comp_quant = data[8]
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0x0F
+                bits = list(data[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(data[off + 17 : off + 17 + nvals])
+                tbl = _build_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if data[0] != 1:
+                raise NotImplementedError("only single-component scans")
+            comp_dc, comp_ac = data[2] >> 4, data[2] & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None:
+        raise ValueError("missing SOF0")
+    qmat = quants[comp_quant]
+    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    r = _BitReader(payload, pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = r.read_symbol(dct)
+            prev_dc += _extend(r.read_bits(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = r.read_symbol(act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += sym >> 4
+                size = sym & 0x0F
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _extend(r.read_bits(size), size)
+                i += 1
+            coef = np.zeros(64)
+            for i in range(64):
+                coef[ZIGZAG[i]] = zz[i]
+            block = _C.T @ (coef.reshape(8, 8) * qmat) @ _C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    pixels = np.clip(np.round(out + 128.0), 0, 255).astype(np.int64)
+    return width, height, [int(v) for v in pixels[:height, :width].ravel()]

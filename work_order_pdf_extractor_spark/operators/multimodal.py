@@ -10,9 +10,10 @@ Decoders are stdlib-only and cover exactly the formats the builders emit
 (the same EMIT==PARSE philosophy as ``core/pdfparse.py``):
 
 - image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded), binary
-  P6 PPM, and non-interlaced 8-bit RGB PNG (zlib inflate + full filter
-  reconstruction — DEFLATE ships in the stdlib, so PNG needs no image
-  library). JPEG (lossy DCT, needs libjpeg) remains the one documented
+  P6 PPM, non-interlaced 8-bit RGB PNG (zlib inflate + full filter
+  reconstruction), and baseline-sequential grayscale JPEG (real Huffman
+  entropy decode + dequant + IDCT, ``core/jpegcodec.py``). Color /
+  progressive JPEG is the remaining documented
   :class:`NotImplementedError` boundary.
 - audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
 - video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
@@ -270,21 +271,28 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode a BMP or P6 PPM payload into exact features.
+    """Decode a BMP / P6 PPM / PNG / baseline-grayscale JPEG payload into
+    exact features.
 
     ``sum_luma``/``n_px`` are integers (oracle-exact); ``mean_luma`` and the
     16-dim 4×4 block-mean ``embedding`` are the float conveniences derived
-    from them. JPEG is the documented stub boundary."""
+    from them. Color/progressive JPEG is the remaining documented
+    boundary (``core/jpegcodec.py``)."""
     if payload[:2] == b"BM":
         width, height, lumas = _decode_bmp(payload)
     elif payload[:2] == b"P6":
         width, height, lumas = _decode_ppm(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         width, height, lumas = _decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from ..core.jpegcodec import decode_baseline_gray
+
+        # grayscale: decoded sample IS the luma
+        width, height, lumas = decode_baseline_gray(payload)
     else:
         raise NotImplementedError(
-            "only BMP/PPM/PNG payloads are decodable without image "
-            "libraries (JPEG's lossy DCT needs libjpeg)"
+            "only BMP/PPM/PNG/baseline-grayscale-JPEG payloads are "
+            "decodable without image libraries"
         )
     n_px = width * height
     sum_luma = sum(lumas)
@@ -521,6 +529,44 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/png",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic baseline-sequential grayscale JPEG per
+    document: dims ``(8·(1 + doc_id mod 4), 8·(1 + (doc_id//4) mod 3))``,
+    every 8×8 block constant at ``(bx + 2·by + doc_id) mod 256`` — a real
+    entropy-coded DCT payload (Huffman + FDCT under a flat quant table)
+    that round-trips bit-exactly BECAUSE the blocks are constant (AC
+    coefficients are analytically zero), so the DuckDB oracle can predict
+    ``sum_luma = 64·Σ block_value`` while the decoder does the full
+    huffman→dequant→IDCT pipeline."""
+    from ..core.jpegcodec import encode_baseline_gray
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 4), 8 * (1 + (did // 4) % 3)
+                samples = [
+                    ((x // 8) + 2 * (y // 8) + did) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_baseline_gray(w, h, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                     "n_bytes": pd.array(
                         [len(p) for p in payloads], dtype="int32"
                     ),

@@ -2113,6 +2113,41 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """ENTROPY-CODED image decode end-to-end: a deterministic baseline
+    grayscale JFIF per document (8×8-block-constant raster, flat quant
+    table → bit-exact round trip; see media_jpeg_from_documents) decoded
+    by the real Huffman→dequant→IDCT pipeline in core/jpegcodec.py —
+    closes the JPEG gap vs the reference's poppler render stage
+    (work_order_extractor.py:1121-1146). The oracle reproduces the
+    features analytically over the 8×8 block grid, integer-exact."""
+    from .operators import multimodal
+
+    media = multimodal.media_jpeg_from_documents(ld(spark, sf_dir, "documents"))
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_JPEG_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+         CAST(8 * (1 + CAST(doc_id // 4 AS BIGINT) % 3) AS INTEGER) AS height
+  FROM documents),
+blocks AS (
+  SELECT media_id, width, height,
+         (bx + 2*by + media_id) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, CAST(width // 8 AS BIGINT) - 1)) AS bx),
+       LATERAL (SELECT unnest(generate_series(0, CAST(height // 8 AS BIGINT) - 1)) AS by))
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(64 * SUM(v) AS BIGINT) AS sum_luma
+FROM blocks GROUP BY 1, 2, 3
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode end-to-end: a deterministic PCM16 WAV per document
     (n = 16 + doc_id mod 50 samples; sample[i] = (37i + 11·doc_id) mod 4096
@@ -2350,6 +2385,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
