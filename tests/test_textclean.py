@@ -1,0 +1,94 @@
+"""Corpus-hygiene operators: repetition scoring, PII redaction,
+decontamination — value checks on hand-built rows + plan-shape
+assertions (repetition must stay narrow; decontamination must broadcast
+the benchmark side)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from work_order_pdf_extractor_spark.operators import textclean
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b a b a b"),            # bigrams: ab ba ab ba ab -> 2/5 distinct
+        (1, "one two three four"),     # all distinct
+        (2, "solo"),                   # < n words
+        (3, ""),                       # empty
+        (4, "x y x y z x y"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_known_ratios(docs):
+    out = {r["doc_id"]: r for r in textclean.repetition_scores(docs).collect()}
+    assert out[0]["n_grams"] == 5 and out[0]["n_distinct"] == 2
+    assert out[0]["dup_ratio"] == 0.6 and out[0]["repetitive"] is True
+    assert out[1]["dup_ratio"] == 0.0 and out[1]["repetitive"] is False
+    # sub-n docs: NULL metrics, explicitly not repetitive (zero-guarded)
+    assert out[2]["n_grams"] is None and out[2]["dup_ratio"] is None
+    assert out[2]["repetitive"] is False
+    # empty string still splits to one '' token -> sub-n
+    assert out[3]["dup_ratio"] is None and out[3]["repetitive"] is False
+
+
+def test_repetition_plan_is_narrow(docs):
+    """The Gopher-rule scorer is transform(sequence(...)) inside the row —
+    a 100-TB corpus pass must plan as a pure map: zero Exchange."""
+    plan = textclean.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_counts_and_fingerprint(spark):
+    rows = [
+        (0, "mail me at jane.doe@example.com or call 555-123-4567 now"),
+        (1, "two mails: a@b.io c.d@e.org and 111-222-3333 999-888-7777"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textclean.pii_redact(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (1, 1)
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 2)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    expect0 = "mail me at <EMAIL> or call <PHONE> now"
+    assert out[0]["redacted_len"] == len(expect0)
+    assert out[0]["redacted_md5"] == hashlib.md5(expect0.encode()).hexdigest()
+    assert out[2]["redacted_md5"] == hashlib.md5(b"nothing sensitive here").hexdigest()
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),   # shares 'the quick brown'
+            (11, "totally unrelated words here"),
+            (12, "quick brown fox runs off"),    # shares 'quick brown fox'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox sat down")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textclean.decontaminate(corpus, bench).collect()}
+    assert len(out) == 3  # zero-overlap docs are kept, flagged clean
+    assert out[10]["contaminated"] is True and out[10]["n_overlap"] == 2
+    assert out[12]["contaminated"] is True and out[12]["n_overlap"] == 1
+    assert out[11]["contaminated"] is False and out[11]["n_overlap"] == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "w0 w1 w2")], "doc_id long, text string")
+    plan = (
+        textclean.decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -2354,6 +2354,118 @@ SELECT event_id, user_id, event_type, value FROM events
 # Registry
 # ===========================================================================
 
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition rule: duplicate word-bigram fraction per
+    document, flagged above 0.2 — built row-locally with
+    transform(sequence(...)) so the plan is a narrow map (no explode, no
+    shuffle) at any corpus size."""
+    from .operators import textclean
+
+    return textclean.repetition_scores(ld(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = """
+WITH g AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 2 THEN
+           list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1]) END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+       ROUND((len(grams) - len(list_distinct(grams))) / len(grams), 6)
+         AS dup_ratio,
+       COALESCE(
+         ROUND((len(grams) - len(list_distinct(grams))) / len(grams), 6)
+           > 0.2, FALSE) AS repetitive
+FROM g
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction audit: emails/phones replaced with typed tokens,
+    counts + a narrow fingerprint of the redacted text. Deterministic PII
+    is injected into every 7th document first (identically in the oracle)
+    so the redaction provably fires on known rows."""
+    from .operators import textclean
+
+    docs = ld(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(""),
+        ),
+    )
+    return textclean.pii_redact(docs)
+
+
+SQL_PII_REDACT = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN
+           ' contact: user' || doc_id || '@example.com or 555-123-4567'
+           ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+         len(regexp_extract_all(
+           text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS n_phones
+  FROM injected)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 97th document plays the eval set;
+    corpus docs sharing any 3-word shingle with it are flagged. Broadcast
+    benchmark shingles, map-side overlap check, only per-doc counts
+    shuffle — the standard published eval-hygiene technique at the 100-TB
+    shape."""
+    from .operators import textclean
+
+    docs = ld(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return textclean.decontaminate(corpus, bench)
+
+
+SQL_DECONTAMINATE = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+  WHERE len(ws) >= 3),
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_overlap
+  FROM shingles s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 # ORDERING IS THE ATTESTATION POLICY (r2 judge finding #1): the driver's
 # correctness gate checks the FIRST 50 entries, so entries are ranked by
 # attestation need, not by topic:
@@ -2397,6 +2509,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
+    "repetition_score": (q_repetition_score, SQL_REPETITION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
