@@ -2526,6 +2526,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
+    # anti_join / cast_normalize promoted into the window: the r3
+    # whitespace-parity fix changed the normalize they exercise
+    # (plans/pipeline.py trim_ws, core/textnorm.py _JAVA_WS).
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
     "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
     "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
     "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
@@ -2535,7 +2540,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
     "lag_gap": (q_lag_gap, SQL_LAG_GAP),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
-    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
@@ -2559,7 +2563,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
-    "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
     "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
     "base64_funcs": (q_base64_funcs, SQL_BASE64_FUNCS),
     "format_number": (q_format_number, SQL_FORMAT_NUMBER),
