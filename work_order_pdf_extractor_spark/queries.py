@@ -2466,6 +2466,61 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Incremental-ingest dedup via a DETERMINISTIC distributed Bloom
+    filter: every 10th document plays the incoming batch, the rest the
+    existing corpus. The bitmap is a bit_or aggregate over md5-derived
+    positions (16 KiB total at m=2^17), broadcast to the probe — the
+    100-TB answer to 'is this doc already in the corpus' without joining
+    the corpus. Both the verdicts AND the false positives are
+    reproduced bit-for-bit by the oracle."""
+    from .operators import membership
+
+    docs = ld(spark, sf_dir, "documents")
+    # overlapping splits: batch docs whose id is also in the corpus split
+    # are guaranteed exact dups, so every verdict path provably fires
+    corpus = docs.filter(F.col("doc_id") % 3 != 1)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return membership.bloom_dedup_incremental(corpus, batch)
+
+
+SQL_BLOOM_DEDUP = """
+WITH corpus AS (
+  SELECT lower(trim(text)) AS canon FROM documents WHERE doc_id % 3 <> 1),
+batch AS (
+  SELECT doc_id, lower(trim(text)) AS canon
+  FROM documents WHERE doc_id % 10 = 0),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+cpos AS (
+  SELECT CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || '#' || canon),
+                                  1, 8)) AS BIGINT) % 131072 AS p
+  FROM corpus, seeds),
+words AS (
+  SELECT CAST(p // 63 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+  FROM cpos GROUP BY 1),
+bpos AS (
+  SELECT doc_id, canon,
+         CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || '#' || canon),
+                                  1, 8)) AS BIGINT) % 131072 AS p
+  FROM batch, seeds),
+hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w.word IS NOT NULL
+                   AND ((w.word >> CAST(p % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS n_hits
+  FROM bpos LEFT JOIN words w ON CAST(p // 63 AS BIGINT) = w.word_idx
+  GROUP BY doc_id),
+exact AS (SELECT DISTINCT b.doc_id
+          FROM batch b JOIN corpus c ON b.canon = c.canon)
+SELECT h.doc_id,
+       h.n_hits = 4 AS bloom_maybe,
+       e.doc_id IS NOT NULL AS exact_dup,
+       (h.n_hits = 4) AND e.doc_id IS NULL AS false_positive
+FROM hits h LEFT JOIN exact e ON h.doc_id = e.doc_id
+"""
+
+
 # ORDERING IS THE ATTESTATION POLICY (r2 judge finding #1): the driver's
 # correctness gate checks the FIRST 50 entries, so entries are ranked by
 # attestation need, not by topic:
@@ -2510,6 +2565,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
+    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
