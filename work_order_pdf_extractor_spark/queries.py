@@ -2466,6 +2466,137 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+PQ_M, PQ_KSUB, PQ_DSUB = 8, 16, 8  # 64-dim vectors -> 8 subspaces of 8
+
+
+def _pq_d2(a: str, b: str) -> str:
+    """DuckDB twin of operators.pq._d2: rounded squared L2 via the
+    dot-product identity, every dot a sequential fold."""
+    return (
+        f"ROUND(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        f" - 2*list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]), 4)"
+    )
+
+
+def _pq_ctes(m: int = PQ_M, ksub: int = PQ_KSUB, dsub: int = PQ_DSUB) -> str:
+    """DuckDB twin of operators.pq.pq_codebooks + the encode assignment:
+    hash-seeded init, one Lloyd iteration with DECIMAL(28,9) per-dim
+    means, nearest-codeword encoding — bit-identical to the engine."""
+    return f"""
+sub AS (
+  SELECT vec_id AS sid, j,
+         (embedding[(j*{dsub}+1):(j*{dsub}+{dsub})])::DOUBLE[] AS sv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS j)),
+seeded AS (
+  SELECT sid, j, sv,
+         CAST(CONCAT('0x', substr(md5(CAST(sid AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hh
+  FROM sub),
+cb0 AS (
+  SELECT j, CAST(hh % {ksub} AS INTEGER) AS code_id, sv AS cv
+  FROM (SELECT *, row_number() OVER (PARTITION BY j, hh % {ksub}
+               ORDER BY hh, sid) AS rn FROM seeded)
+  WHERE rn = 1),
+a1 AS (
+  SELECT j, code_id, sv FROM (
+    SELECT s.j, c.code_id, s.sv,
+           row_number() OVER (PARTITION BY s.sid, s.j
+             ORDER BY {_pq_d2('s.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+m1 AS (
+  SELECT j, code_id, d,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mval
+  FROM (SELECT j, code_id, unnest(sv) AS x,
+               generate_subscripts(sv, 1) AS d FROM a1)
+  GROUP BY 1, 2, 3),
+cb1 AS (SELECT j, code_id, list(mval ORDER BY d) AS cv FROM m1
+        GROUP BY 1, 2),
+codes AS (
+  SELECT sid, j, code FROM (
+    SELECT s.sid, s.j, c.code_id AS code,
+           row_number() OVER (PARTITION BY s.sid, s.j
+             ORDER BY {_pq_d2('s.sv', 'c.cv')} ASC, c.code_id) AS rn
+    FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1)"""
+
+
+# PQ model cache: same train-once-search-many pattern as the IVF cache.
+_PQ_MODEL_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _trained_pq_codebooks(spark, sf_dir):
+    from .operators import pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_MODEL_CACHE:
+        trained = pq.pq_codebooks(ld(spark, sf_dir, "embeddings"))
+        _PQ_MODEL_CACHE[key] = spark.createDataFrame(
+            trained.collect(), trained.schema
+        )
+    return _PQ_MODEL_CACHE[key]
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product quantization encode: every 64-dim vector compressed to 8
+    nearest-codeword ids (~30x smaller searchable representation, the PQ
+    storage win). Codebooks are TRAINED (hash-seeded init + 1 exact-
+    decimal Lloyd iteration), session-cached, and reproduced identically
+    by the oracle's CTE chain."""
+    from .operators import pq
+
+    return pq.pq_encode(
+        ld(spark, sf_dir, "embeddings"), _trained_pq_codebooks(spark, sf_dir)
+    )
+
+
+SQL_PQ_ENCODE = f"""
+WITH {_pq_ctes()}
+SELECT sid AS vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY j), '-')
+         AS code_str
+FROM codes GROUP BY sid
+"""
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC): queries keep exact
+    subvectors, the corpus is searched through its codes only — one
+    m x ksub LUT per query against the broadcast codebook, then a narrow
+    (j, code) join + order-free DECIMAL sum. The corpus embedding column
+    never reaches the search side."""
+    from .operators import pq
+
+    emb = ld(spark, sf_dir, "embeddings")
+    return pq.pq_topk(
+        emb,
+        _trained_pq_codebooks(spark, sf_dir),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        k=3,
+    )
+
+
+SQL_PQ_TOPK = f"""
+WITH {_pq_ctes()},
+q AS (SELECT sid AS qid, j, sv AS qv FROM sub WHERE sid % 100 = 0),
+lut AS (
+  SELECT q.qid, q.j, c.code_id, {_pq_d2('q.qv', 'c.cv')} AS dist
+  FROM q JOIN cb1 c ON q.j = c.j),
+adist AS (
+  SELECT l.qid, co.sid AS nid,
+         CAST(SUM(CAST(dist AS DECIMAL(18,4))) AS DOUBLE) AS adist
+  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.code_id
+  WHERE l.qid <> co.sid
+  GROUP BY 1, 2)
+SELECT qid, nid, adist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, nid, adist,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY adist ASC, nid) AS rank
+  FROM adist)
+WHERE rank <= 3
+"""
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental-ingest dedup via a DETERMINISTIC distributed Bloom
     filter: every 10th document plays the incoming batch, the rest the
@@ -2566,6 +2697,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
+    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
