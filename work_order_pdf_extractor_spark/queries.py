@@ -2705,9 +2705,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
-    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
-    "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
-    "countmin": (q_countmin, SQL_COUNTMIN),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
@@ -2733,6 +2730,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
+    "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
+    "countmin": (q_countmin, SQL_COUNTMIN),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "case_quality_flags": (q_case_quality_flags, SQL_CASE_QUALITY),
