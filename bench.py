@@ -54,7 +54,12 @@ HEADLINE = [
     "token_count",
     "multimodal_decode",
     "png_decode",
+    "jpeg_decode",
     "pack_chunks",
+    "repetition_score",
+    "decontaminate",
+    "bloom_dedup",
+    "pq_topk",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

