@@ -79,6 +79,50 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert out[11]["contaminated"] is False and out[11]["n_overlap"] == 0
 
 
+def test_boilerplate_detects_shared_header(spark):
+    header = "copyright acme corp all rights reserved"
+    rows = [(i, f"{header} unique body {i} words here") for i in range(4)]
+    rows += [(10, "completely original essay about ducks"), (11, "hi")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textclean.boilerplate_spans(df).collect()}
+    assert len(out) == 6
+    # the shared header's shingles recur in 4 >= 3 docs
+    for i in range(4):
+        assert out[i]["n_common"] >= 4  # the header contributes >= 4 shingles
+        assert out[i]["boilerplate_frac"] > 0
+    assert out[10]["n_common"] == 0 and out[10]["boilerplate_frac"] == 0.0
+    # sub-n doc: no shingles, NULL fraction
+    assert out[11]["n_shingles"] == 0 and out[11]["boilerplate_frac"] is None
+
+
+def test_fluency_ranks_gibberish_below_fluent(spark):
+    fluent = [
+        (i, "the cat sat on the mat and the dog ran in the park")
+        for i in range(5)
+    ]
+    model = spark.createDataFrame(fluent, "doc_id long, text string")
+    score_df = spark.createDataFrame(
+        fluent[:1] + [(99, "zxqj kvvw pfft qqqz xjzk wvvk")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textclean.fluency_scores(model, score_df).collect()
+    }
+    assert out[0]["fluency"] > out[99]["fluency"] * 5
+    # all-integer invariants: sum_freq is a whole number of model hits
+    assert out[0]["sum_freq"] > 0 and out[99]["sum_freq"] >= 0
+
+
+def test_fluency_exact_tiny_example(spark):
+    """Hand-check the arithmetic: model 'abab' has bigrams ab,ba,ab ->
+    counts {ab:2, ba:1}; doc 'aba' has bigrams ab,ba -> sum 3, n 2."""
+    model = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    doc = spark.createDataFrame([(1, "aba")], "doc_id long, text string")
+    r = textclean.fluency_scores(model, doc).collect()[0]
+    assert (r["n_bigrams"], r["sum_freq"], r["fluency"]) == (2, 3, 1.5)
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],

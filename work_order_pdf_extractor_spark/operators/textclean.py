@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import word_shingles
+from .dedup import stable_hash64, word_shingles
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2
 # (DuckDB oracle): character classes, bounded repetition, no backrefs.
@@ -78,6 +78,108 @@ def pii_redact(
         .alias("n_phones"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection: the fraction of a document's
+    n-grams that recur in ≥ ``min_docs`` documents (headers, footers,
+    navigation chrome — the published cross-doc repeated-span rule
+    family).
+
+    100-TB shape: the document-frequency aggregation shuffles 64-bit
+    n-gram HASHES, never n-gram strings (``stable_hash64``), and the
+    common-span set it produces is small (boilerplate is by definition
+    the heavy tail) → broadcast back for the per-doc fraction. Documents
+    with fewer than ``n`` words get a NULL fraction."""
+    sh = word_shingles(df, n, text_col, id_col).select(
+        id_col, stable_hash64(F.col("shingle")).alias("h")
+    )
+    common = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))  # shingles are distinct/doc
+        .filter(F.col("df_cnt") >= min_docs)
+        .select("h")
+    )
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(common), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("int").alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).cast("int").alias("n_common"),
+            F.when(
+                F.col("n_shingles").isNotNull(),
+                F.round(
+                    F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6
+                ),
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+def fluency_scores(
+    corpus_model: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-based character-bigram fluency score (the deterministic twin
+    of the published LM-perplexity quality filter): score a document by
+    the average corpus frequency of its character bigrams — gibberish and
+    wrong-language text score low, fluent in-distribution text high.
+
+    All-integer until the final division, so the score is bit-identical
+    across engines (a log-prob LM would hinge on transcendental-function
+    ULPs). ``corpus_model`` is the training slice — at 100 TB a sample,
+    exactly like IVF/PQ training; the model (≤ alphabet² rows) is
+    broadcast to the scoring join."""
+    model = (
+        _char_bigrams(corpus_model, text_col)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    doc_bg = _char_bigrams(df, text_col, keep=(id_col,))
+    return (
+        doc_bg.join(F.broadcast(model), "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum(F.coalesce("cnt", F.lit(0))).alias("sum_freq"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_freq",
+            F.round(F.col("sum_freq") / F.col("n_bigrams"), 4).alias(
+                "fluency"
+            ),
+        )
+    )
+
+
+def _char_bigrams(df: DataFrame, text_col: str, keep: tuple = ()) -> DataFrame:
+    """One row per character bigram, built row-locally then exploded —
+    rows with < 2 chars contribute nothing."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substr({text_col}, i, 2))"
+    )
+    return df.filter(F.length(text_col) >= 2).select(
+        *keep, F.explode(grams).alias("bg")
     )
 
 

@@ -2466,6 +2466,77 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_boilerplate_spans(spark, sf_dir):
+    """Cross-document boilerplate detection: fraction of each document's
+    3-gram shingles recurring in >= 3 documents (the published
+    repeated-span rule family). The document-frequency aggregation
+    shuffles 64-bit shingle HASHES, never strings; the common-span set is
+    broadcast back (boilerplate is the small heavy tail by definition)."""
+    from .operators import textclean
+
+    return textclean.boilerplate_spans(ld(spark, sf_dir, "documents"))
+
+
+SQL_BOILERPLATE = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM shingles),
+common AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS c FROM sh GROUP BY h)
+  WHERE c >= 3),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_common
+  FROM sh s JOIN common c ON s.h = c.h GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS INTEGER) AS n_shingles,
+       CAST(COALESCE(h.n_common, 0) AS INTEGER) AS n_common,
+       CASE WHEN p.n_shingles IS NOT NULL THEN
+         ROUND(COALESCE(h.n_common, 0) / p.n_shingles, 6)
+       END AS boilerplate_frac
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_fluency_score(spark, sf_dir):
+    """Count-based char-bigram fluency scoring — the deterministic twin
+    of the published LM-perplexity quality filter: every 20th document
+    trains the bigram frequency model (the sample-training pattern shared
+    with IVF/PQ), all documents are scored by average bigram corpus
+    frequency. All-integer until the final rounded division, so the score
+    never hinges on transcendental-function ULPs."""
+    from .operators import textclean
+
+    docs = ld(spark, sf_dir, "documents")
+    return textclean.fluency_scores(docs.filter(F.col("doc_id") % 20 == 0), docs)
+
+
+SQL_FLUENCY = """
+WITH bg_model AS (
+  SELECT substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)
+  WHERE doc_id % 20 = 0 AND length(text) >= 2),
+model AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM bg_model GROUP BY bg),
+doc_bg AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 2)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+       CAST(SUM(COALESCE(m.cnt, 0)) AS BIGINT) AS sum_freq,
+       ROUND(SUM(COALESCE(m.cnt, 0)) / COUNT(*), 4) AS fluency
+FROM doc_bg d LEFT JOIN model m USING (bg)
+GROUP BY d.doc_id
+"""
+
+
 PQ_M, PQ_KSUB, PQ_DSUB = 8, 16, 8  # 64-dim vectors -> 8 subspaces of 8
 
 
@@ -2721,12 +2792,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "boilerplate_spans": (q_boilerplate_spans, SQL_BOILERPLATE),
+    "fluency_score": (q_fluency_score, SQL_FLUENCY),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
     "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
-    "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
@@ -2752,6 +2823,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
     "countmin": (q_countmin, SQL_COUNTMIN),
