@@ -113,19 +113,77 @@ def test_jpeg_flat_quant_near_lossless_and_std_quant_lossy():
     assert abs(sum(lossy) / len(lossy) - sum(img) / len(img)) < 10
 
 
-def test_jpeg_rejects_color_and_16bit_quant():
+def test_jpeg_rejects_subsampling_16bit_quant_and_truncated_sof():
     from work_order_pdf_extractor_spark.core import jpegcodec as J
 
     flat = J.encode_baseline_gray(8, 8, list(range(64)))
-    sof_at = flat.index(b"\xff\xc0")
-    ncomp_at = sof_at + 4 + 5  # marker(2) + len(2) + precision(1) + dims(4)
-    color = flat[:ncomp_at] + b"\x03" + flat[ncomp_at + 1 :]
-    with pytest.raises(NotImplementedError):
-        J.decode_baseline_gray(color)
     dqt_at = flat.index(b"\xff\xdb")
     wide = flat[: dqt_at + 4] + b"\x10" + flat[dqt_at + 5 :]
     with pytest.raises(NotImplementedError):
         J.decode_baseline_gray(wide)
+    # a gray SOF0 claiming 3 components is corrupt (too short), not merely
+    # unsupported — color itself is now decodable
+    sof_at = flat.index(b"\xff\xc0")
+    ncomp_at = sof_at + 4 + 5  # marker(2) + len(2) + precision(1) + dims(4)
+    truncated = flat[:ncomp_at] + b"\x03" + flat[ncomp_at + 1 :]
+    with pytest.raises(ValueError):
+        J.decode_baseline_gray(truncated)
+    # 4:2:0 sampling factors in a color stream -> explicit boundary
+    color = J.encode_baseline_ycbcr(8, 8, [7] * 64, [128] * 64, [128] * 64)
+    csof = color.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) precision(1) dims(4) ncomp(1) id(1) -> sampling
+    sampled = color[: csof + 11] + b"\x22" + color[csof + 12 :]
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline(sampled)
+
+
+def test_jpeg_color_neutral_chroma_bit_exact():
+    """Block-constant Y with neutral chroma (Cb=Cr=128) through the full
+    3-component interleaved scan round-trips bit-exactly: chroma planes
+    reconstruct to exactly zero offset, so JFIF YCbCr->RGB returns
+    (Y, Y, Y) — the property the color-decode oracle relies on."""
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    w, h = 24, 16
+    y = [((x // 8) + 2 * (yy // 8) + 9) % 256 for yy in range(h) for x in range(w)]
+    p = J.encode_baseline_ycbcr(w, h, y, [128] * (w * h), [128] * (w * h))
+    dw, dh, rgb = J.decode_baseline(p)
+    assert (dw, dh) == (w, h)
+    assert all(r == g == b for r, g, b in rgb)
+    assert [r for r, _, _ in rgb] == y
+
+
+def test_jpeg_color_content_roundtrip_close():
+    """Arbitrary YCbCr content under flat quant: decoded RGB within a few
+    counts of the direct float conversion of the original planes (FDCT/
+    IDCT rounding only), and the lossy Annex-K tables compress smaller."""
+    import random
+
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    rng = random.Random(3)
+    w, h = 16, 16
+    yv = [rng.randrange(256) for _ in range(w * h)]
+    cbv = [rng.randrange(64, 192) for _ in range(w * h)]
+    crv = [rng.randrange(64, 192) for _ in range(w * h)]
+    p = J.encode_baseline_ycbcr(w, h, yv, cbv, crv)
+    _, _, rgb = J.decode_baseline(p)
+
+    def conv(yy, cbb, crr):
+        r = min(255, max(0, round(yy + 1.402 * (crr - 128))))
+        g = min(255, max(0, round(yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128))))
+        b = min(255, max(0, round(yy + 1.772 * (cbb - 128))))
+        return r, g, b
+
+    worst = max(
+        max(abs(a - b) for a, b in zip(got, conv(yy, cbb, crr)))
+        for got, yy, cbb, crr in zip(rgb, yv, cbv, crv)
+    )
+    assert worst <= 4
+    p_std = J.encode_baseline_ycbcr(
+        w, h, yv, cbv, crv, J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT
+    )
+    assert len(p_std) < len(p)
 
 
 def test_png_roundtrip_exact():

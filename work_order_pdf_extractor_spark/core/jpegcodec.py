@@ -1,14 +1,17 @@
-"""Baseline-sequential grayscale JPEG (ITU-T T.81 / JFIF) codec, stdlib+numpy.
+"""Baseline-sequential JPEG (ITU-T T.81 / JFIF) codec, stdlib+numpy —
+grayscale AND YCbCr 4:4:4 color.
 
 Closes the last compressed-codec gap vs the reference's raster stage
 (``work_order_extractor.py:1121-1146``, pdf2image/poppler render): the
 engine can now emit AND parse a real entropy-coded DCT payload — markers,
-Annex K Huffman tables, FDCT/quantize/zigzag on the encode side; marker
-walk, canonical-Huffman bitstream decode, dequantize, float IDCT on the
-decode side. Same EMIT==PARSE philosophy as ``core/pdfparse.py``: the
-supported subset is explicit (baseline sequential, 8-bit, ONE component,
-no subsampling, no restart intervals) and everything outside
-it raises ``NotImplementedError`` so callers degrade to status rows.
+Annex K Huffman tables (luma + chroma pairs), FDCT/quantize/zigzag and
+interleaved 3-component MCUs on the encode side; marker walk,
+canonical-Huffman bitstream decode with per-component selectors and DC
+predictors, dequantize, float IDCT, JFIF YCbCr→RGB on the decode side.
+Same EMIT==PARSE philosophy as ``core/pdfparse.py``: the supported
+subset is explicit (baseline sequential, 8-bit, 1 or 3 components, no
+subsampling, no restart intervals) and everything outside it raises
+``NotImplementedError`` so callers degrade to status rows.
 
 Oracle-exactness: JPEG is lossy in general, but an image whose 8x8 blocks
 are each CONSTANT has only a DC coefficient (AC analytically zero), and
@@ -176,6 +179,96 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+# ITU-T T.81 Annex K.2 — the example chrominance quantization table.
+STD_CHROMA_QUANT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# T.81 Annex K.4 — chrominance DC/AC Huffman specs. These are written
+# into every stream's DHT segment and read back by the decoder (JPEG is
+# self-describing), so round-trip correctness is independent of the
+# canonical values.
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _pad_plane(samples: list[int], width: int, height: int) -> np.ndarray:
+    img = np.asarray(samples, dtype=np.float64).reshape(height, width)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    return np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+
+
+def _write_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    qmat: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + zigzag + Huffman-encode one 8×8 block; returns
+    the new DC predictor."""
+    coef = _C @ (block - 128.0) @ _C.T
+    qcoef = np.round(coef / qmat).astype(np.int64)
+    zz = [int(qcoef.flat[ZIGZAG[i]]) for i in range(64)]
+    size, bits = _magnitude(zz[0] - prev_dc)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _zz_bytes(q: list[int]) -> bytes:
+    return bytes(min(255, max(1, q[ZIGZAG[i]])) for i in range(64))
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
 def encode_baseline_gray(
     width: int, height: int, samples: list[int], quant: list[int] | None = None
 ) -> bytes:
@@ -185,56 +278,27 @@ def encode_baseline_gray(
     DC prediction, run-length AC with EOB/ZRL, and byte stuffing. Edge
     blocks are replicate-padded (the decoder crops)."""
     q = list(quant or FLAT_QUANT)
-    img = np.asarray(samples, dtype=np.float64).reshape(height, width)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    padded = _pad_plane(samples, width, height)
     qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
-
     dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     w = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _C @ block @ _C.T
-            qcoef = np.round(coef / qmat).astype(np.int64)
-            zz = [int(qcoef.flat[ZIGZAG[i]]) for i in range(64)]
-            size, bits = _magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, ln = dc_codes[size]
-            w.write(code, ln)
-            if size:
-                w.write(bits, size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(zz[i])
-                code, ln = ac_codes[(run << 4) | size]
-                w.write(code, ln)
-                w.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                w.write(code, ln)
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            prev_dc = _write_block(
+                w, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                qmat, dc_codes, ac_codes, prev_dc,
+            )
     w.flush()
-
-    zz_quant = bytes(min(255, max(1, q[ZIGZAG[i]])) for i in range(64))
     dht = (
         bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
         + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
     )
     return (
         b"\xff\xd8"  # SOI
-        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-        + _seg(0xDB, bytes([0x00]) + zz_quant)  # DQT, table 0, 8-bit
+        + _seg(0xE0, _JFIF_APP0)  # APP0
+        + _seg(0xDB, bytes([0x00]) + _zz_bytes(q))  # DQT, table 0, 8-bit
         + _seg(  # SOF0: baseline, 8-bit, 1 component, 1x1 sampling
             0xC0,
             struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
@@ -246,12 +310,111 @@ def encode_baseline_gray(
     )
 
 
-def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a baseline-sequential 8-bit single-component JPEG: marker
-    walk (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode with DC
-    prediction, dequantize, inverse zigzag, float IDCT, level shift,
-    clamp, crop. Anything outside the subset (progressive SOF2, >1
-    component, subsampling, 16-bit quant, restart intervals) raises
+def encode_baseline_ycbcr(
+    width: int,
+    height: int,
+    y: list[int],
+    cb: list[int],
+    cr: list[int],
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+) -> bytes:
+    """Encode three full-resolution planes as a baseline-sequential COLOR
+    JFIF (YCbCr, 4:4:4): interleaved MCUs of one Y + one Cb + one Cr
+    block, separate luma/chroma quantization tables (0/1) and Huffman
+    table pairs (0/0 and 1/1), one DC predictor per component — the
+    standard 3-component scan structure. Defaults to the near-lossless
+    flat quant table for both; pass :data:`STD_LUMA_QUANT` /
+    :data:`STD_CHROMA_QUANT` for a genuinely lossy stream."""
+    lq = list(luma_quant or FLAT_QUANT)
+    cq = list(chroma_quant or FLAT_QUANT)
+    planes = [
+        _pad_plane(y, width, height),
+        _pad_plane(cb, width, height),
+        _pad_plane(cr, width, height),
+    ]
+    qmats = [
+        np.asarray(lq, dtype=np.float64).reshape(8, 8),
+        np.asarray(cq, dtype=np.float64).reshape(8, 8),
+    ]
+    luma_codes = (
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+    )
+    chroma_codes = (
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )
+    # per component: (plane, qmat, (dc_codes, ac_codes))
+    comps = [
+        (planes[0], qmats[0], luma_codes),
+        (planes[1], qmats[1], chroma_codes),
+        (planes[2], qmats[1], chroma_codes),
+    ]
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            for ci, (plane, qmat, (dcc, acc)) in enumerate(comps):
+                preds[ci] = _write_block(
+                    w, plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qmat, dcc, acc, preds[ci],
+                )
+    w.flush()
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, bytes([0x00]) + _zz_bytes(lq)
+               + bytes([0x01]) + _zz_bytes(cq))
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
+def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
+    """Huffman-decode one block's zigzag coefficients; returns (zz, dc)."""
+    zz = [0] * 64
+    size = r.read_symbol(dct)
+    prev_dc += _extend(r.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = r.read_symbol(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += sym >> 4
+        size = sym & 0x0F
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _extend(r.read_bits(size), size)
+        i += 1
+    return zz, prev_dc
+
+
+def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a baseline-sequential 8-bit JPEG — grayscale (1 component)
+    or YCbCr 4:4:4 color (3 components, interleaved MCUs, per-component
+    quant/Huffman selectors and DC predictors) — to RGB triples: marker
+    walk (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode,
+    dequantize, inverse zigzag, float IDCT, JFIF YCbCr→RGB for color,
+    level shift, clamp, crop. Outside the subset (progressive SOF2,
+    subsampling, 16-bit quant, restart intervals) raises
     ``NotImplementedError``; corrupt streams raise ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
@@ -260,7 +423,8 @@ def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_quant = comp_dc = comp_ac = 0
+    comp_specs: list[tuple[int, int]] = []  # (component id, quant selector)
+    scan_sel: dict[int, tuple[int, int]] = {}  # id -> (dc sel, ac sel)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -284,13 +448,15 @@ def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
         elif marker == 0xC0:  # SOF0
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
-            if precision != 8 or ncomp != 1:
-                raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) JPEG"
-                )
-            if data[7] != 0x11:  # per-component: id, sampling, quant tbl
-                raise NotImplementedError("subsampling unsupported")
-            comp_quant = data[8]
+            if precision != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("only 8-bit, 1 or 3 components")
+            if len(data) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0")
+            for c in range(ncomp):
+                cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampling unsupported")
+                comp_specs.append((cid, tq))
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(data):
@@ -302,45 +468,66 @@ def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
                 off += 17 + nvals
         elif marker == 0xDA:  # SOS — entropy data follows the segment
-            if data[0] != 1:
-                raise NotImplementedError("only single-component scans")
-            comp_dc, comp_ac = data[2] >> 4, data[2] & 0x0F
+            ns = data[0]
+            if ns != len(comp_specs):
+                raise NotImplementedError("only single fully-interleaved scans")
+            for c in range(ns):
+                cid, sel = data[1 + 2 * c], data[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if width is None:
+    if width is None or not comp_specs:
         raise ValueError("missing SOF0")
-    qmat = quants[comp_quant]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
 
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comp_specs
+    ]
     r = _BitReader(payload, pos)
-    prev_dc = 0
+    preds = [0] * len(comp_specs)
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = r.read_symbol(dct)
-            prev_dc += _extend(r.read_bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = r.read_symbol(act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                size = sym & 0x0F
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(r.read_bits(size), size)
-                i += 1
-            coef = np.zeros(64)
-            for i in range(64):
-                coef[ZIGZAG[i]] = zz[i]
-            block = _C.T @ (coef.reshape(8, 8) * qmat) @ _C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    pixels = np.clip(np.round(out + 128.0), 0, 255).astype(np.int64)
-    return width, height, [int(v) for v in pixels[:height, :width].ravel()]
+            for ci, (cid, tq) in enumerate(comp_specs):
+                dsel, asel = scan_sel[cid]
+                zz, preds[ci] = _read_block(
+                    r, dc_tables[dsel], ac_tables[asel], preds[ci]
+                )
+                coef = np.zeros(64)
+                for i in range(64):
+                    coef[ZIGZAG[i]] = zz[i]
+                block = _C.T @ (coef.reshape(8, 8) * quants[tq]) @ _C
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    if len(planes) == 1:
+        v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)
+        v = v[:height, :width].ravel()
+        return width, height, [(int(s), int(s), int(s)) for s in v]
+    # JFIF YCbCr -> RGB (full-range)
+    yp = planes[0] + 128.0
+    cbp, crp = planes[1], planes[2]  # already centered (level shift = +128-128)
+    rr = np.clip(np.round(yp + 1.402 * crp), 0, 255).astype(np.int64)
+    gg = np.clip(
+        np.round(yp - 0.344136 * cbp - 0.714136 * crp), 0, 255
+    ).astype(np.int64)
+    bb = np.clip(np.round(yp + 1.772 * cbp), 0, 255).astype(np.int64)
+    rr, gg, bb = (
+        rr[:height, :width].ravel(),
+        gg[:height, :width].ravel(),
+        bb[:height, :width].ravel(),
+    )
+    return width, height, [
+        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
+    ]
+
+
+def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Luma view of :func:`decode_baseline`: integer BT.601 over the RGB
+    triples. For a grayscale stream this is exactly the decoded sample
+    (``(299+587+114)·v // 1000 == v``); for color it is the standard
+    luma reduction."""
+    width, height, rgb = decode_baseline(payload)
+    return width, height, [
+        (299 * r + 587 * g + 114 * b) // 1000 for r, g, b in rgb
+    ]
+

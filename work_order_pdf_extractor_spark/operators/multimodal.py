@@ -576,6 +576,47 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
+def media_color_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic COLOR (YCbCr 4:4:4) baseline JPEG per
+    document: dims ``(8·(1 + doc_id mod 3), 8·(1 + (doc_id//3) mod 4))``,
+    Y plane 8×8-block-constant at ``(2·bx + by + doc_id) mod 256``,
+    neutral chroma (Cb=Cr=128). The 3-component interleaved scan is fully
+    exercised (separate chroma quant/Huffman tables, per-component DC
+    predictors) while neutral chroma keeps the round trip bit-exact —
+    JFIF YCbCr→RGB of (Y, 0-offset, 0-offset) is (Y, Y, Y), so
+    ``sum_luma = 64·Σ block_value`` stays analytically predictable."""
+    from ..core.jpegcodec import encode_baseline_ycbcr
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + (did // 3) % 4)
+                y = [
+                    (2 * (x // 8) + (yy // 8) + did) % 256
+                    for yy in range(h)
+                    for x in range(w)
+                ]
+                neutral = [128] * (w * h)
+                payloads.append(
+                    encode_baseline_ycbcr(w, h, y, neutral, neutral)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
 def media_wav_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic PCM16 WAV per document: n = 16 + doc_id
     mod 50 samples, sample[i] = ((37i + 11·doc_id) mod 4096) − 2048."""
