@@ -63,6 +63,34 @@ def test_codes_only_search_matches_inline_encode(vectors):
     assert sorted(map(str, inline)) == sorted(map(str, codes_only))
 
 
+def test_codes_only_search_never_scans_corpus_vectors(spark):
+    """With materialized codes, the search plan reads the embeddings
+    parquet exactly ONCE — for the query vectors — never for the corpus:
+    the PQ storage win, visible in the physical plan's file scans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = spark.createDataFrame(
+        pq.pq_codebooks(emb).collect(), "j int, code_id int, cv array<double>"
+    )
+    codes = spark.createDataFrame(
+        pq.pq_codes(emb, cbs).collect(), "sid long, j int, code long"
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        pq.pq_topk(None, cbs, queries, k=2, codes=codes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_scans = len(re.findall(r"embeddings\.parquet", plan))
+    assert n_scans >= 1, "query side must scan the vectors"
+    # every scan mention belongs to ONE FileScan node (the query side)
+    assert plan.count("FileScan") == 1, plan[:2000]
+
+
 def test_compression_ratio_docstringed():
     """The claimed storage win: 64 float32 = 256 bytes vs 8 small codes."""
     assert 256 / pq.PQ_M >= 30
