@@ -2385,6 +2385,30 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_orc_source(spark, sf_dir):
+    """ORC connector proof: documents round-tripped through Spark's
+    native columnar ORC writer/reader with an explicit schema — content
+    fidelity pinned by md5(text), exactly like the JSONL round-trip.
+    ORC scans get the same vectorized-reader/pushdown/pruning treatment
+    as parquet, so a corpus stored either way runs the same plans."""
+    from .sources.transcripts import read_orc
+
+    out = _roundtrip_dir(spark, sf_dir, "orc")
+    ld(spark, sf_dir, "documents").coalesce(4).write.mode("overwrite").orc(out)
+    back = read_orc(
+        spark, out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_ORC_SOURCE = """
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2817,6 +2841,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
     "csv_source": (q_csv_source, SQL_CSV_SOURCE),
+    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
@@ -2833,7 +2858,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
@@ -2858,6 +2882,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),

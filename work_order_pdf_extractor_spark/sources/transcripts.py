@@ -52,6 +52,13 @@ def read_csv(
     return spark.read.option("header", header).schema(schema).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """ORC scan with an explicit schema — the columnar big-data format
+    beside parquet that ships in Spark itself (vectorized reader,
+    predicate pushdown, column pruning all apply, same as parquet)."""
+    return spark.read.schema(schema).orc(path)
+
+
 def read_transcripts(spark: SparkSession, location: str) -> DataFrame:
     """``location`` is an Iceberg table identifier (``catalog.db.t``), a
     parquet directory, a ``.jsonl``/``.json`` path, or a ``.csv`` path
