@@ -11,10 +11,10 @@ Decoders are stdlib-only and cover exactly the formats the builders emit
 
 - image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded), binary
   P6 PPM, non-interlaced 8-bit RGB PNG (zlib inflate + full filter
-  reconstruction), and baseline-sequential grayscale JPEG (real Huffman
-  entropy decode + dequant + IDCT, ``core/jpegcodec.py``). Color /
-  progressive JPEG is the remaining documented
-  :class:`NotImplementedError` boundary.
+  reconstruction), and baseline-sequential JPEG — grayscale AND YCbCr
+  4:4:4 color (real Huffman entropy decode + dequant + IDCT + JFIF
+  YCbCr→RGB, ``core/jpegcodec.py``). Progressive / subsampled JPEG is
+  the remaining documented :class:`NotImplementedError` boundary.
 - audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
 - video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
   decode would be the image path above).
@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .dedup import ensure_parallelism
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -496,7 +498,9 @@ def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
 
 
 def _doc_png_pixel(doc_id: int):
@@ -535,7 +539,9 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
 
 
 def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
@@ -573,7 +579,9 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
 
 
 def media_color_jpeg_from_documents(docs: DataFrame) -> DataFrame:
@@ -614,7 +622,9 @@ def media_color_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
 
 
 def media_wav_from_documents(docs: DataFrame) -> DataFrame:
@@ -641,4 +651,6 @@ def media_wav_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
