@@ -2413,6 +2413,68 @@ SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
 # Registry
 # ===========================================================================
 
+def q_fuzzy_semi_join(spark, sf_dir):
+    """Fuzzy key matching (SymSpell deletion blocking + levenshtein
+    verify): every 5th customer name gets a deterministic one-character
+    deletion, then all names are matched against the clean reference set
+    — typo'd keys recover their original at distance 1, clean keys match
+    themselves at 0, with NO cross join anywhere (candidates come from a
+    hash join on deletion variants). The noisy-extracted-key answer the
+    reference's exact str/int probe (work_order_extractor.py:1752-1767)
+    cannot give."""
+    from .operators import fuzzy
+
+    cust = ld(spark, sf_dir, "customer")
+    pos = (F.col("c_custkey") % 10).cast("int")  # 0-based deletion point
+    probe = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.substring(F.col("c_name"), 1, pos),
+                F.col("c_name").substr(pos + 2, F.length("c_name")),
+            ),
+        ).otherwise(F.col("c_name")).alias("pkey"),
+    )
+    return fuzzy.fuzzy_semi_join(probe, cust, "pkey", "c_name", "c_custkey")
+
+
+SQL_FUZZY_SEMI_JOIN = """
+WITH probe AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN
+           substr(c_name, 1, CAST(c_custkey % 10 AS INTEGER))
+             || substr(c_name, CAST(c_custkey % 10 AS INTEGER) + 2)
+         ELSE c_name END AS pkey
+  FROM customer),
+pv AS (
+  SELECT DISTINCT c_custkey, pkey, v FROM (
+    SELECT c_custkey, pkey,
+           unnest(list_prepend(pkey,
+             list_transform(generate_series(1, length(pkey)),
+               i -> substr(pkey, 1, CAST(i - 1 AS INTEGER))
+                    || substr(pkey, CAST(i + 1 AS INTEGER))))) AS v
+    FROM probe)),
+rv AS (
+  SELECT DISTINCT c_name AS rkey, v FROM (
+    SELECT c_name,
+           unnest(list_prepend(c_name,
+             list_transform(generate_series(1, length(c_name)),
+               i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+                    || substr(c_name, CAST(i + 1 AS INTEGER))))) AS v
+    FROM customer)),
+cands AS (SELECT DISTINCT c_custkey, pkey, rkey FROM pv JOIN rv USING (v)),
+ver AS (
+  SELECT c_custkey, pkey, rkey, levenshtein(pkey, rkey) AS dist
+  FROM cands WHERE levenshtein(pkey, rkey) <= 1)
+SELECT c_custkey, pkey AS probe_key, rkey AS matched_key,
+       CAST(dist AS INTEGER) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        ORDER BY dist, rkey) AS rn FROM ver)
+WHERE rn = 1
+"""
+
+
 def q_repetition_score(spark, sf_dir):
     """Gopher-style repetition rule: duplicate word-bigram fraction per
     document, flagged above 0.2 — built row-locally with
@@ -2850,6 +2912,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
+    "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
@@ -2861,7 +2924,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
-    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
     # anti_join / cast_normalize promoted into the window: the r3
@@ -2882,6 +2944,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
