@@ -99,3 +99,42 @@ def test_pack_chunks_deterministic_across_partitionings(spark, docs):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_mix_corpus_hits_target_proportions(spark, docs):
+    out = sampling.mix_corpus(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) <= {"src0", "src1", "src2"}  # other domains dropped
+    n0 = sizes["src0"]
+    # binding domain (largest relative target) kept whole; others near half
+    total_src0 = docs.filter(F.col("source") == "src0").count()
+    assert n0 == total_src0
+    for s in ("src1", "src2"):
+        assert abs(sizes[s] / n0 - 0.5) < 0.25  # hash-threshold quantization
+    fr = {r["source"]: r["keep_frac"] for r in out.select("source", "keep_frac").distinct().collect()}
+    assert fr["src0"] == 1.0 and fr["src1"] == 0.5 and fr["src2"] == 0.5
+
+
+def test_mix_corpus_deterministic_and_subset(spark, docs):
+    w = {"src3": 0.5, "src4": 0.5}
+    a = sorted(r["doc_id"] for r in sampling.mix_corpus(docs, w).collect())
+    b = sorted(
+        r["doc_id"] for r in sampling.mix_corpus(docs.repartition(17), w).collect()
+    )
+    assert a == b and len(a) > 0
+    kept_ids = set(a)
+    all_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source").isin("src3", "src4")).collect()
+    }
+    assert kept_ids <= all_ids
+
+
+def test_mix_corpus_empty_weights(spark, docs):
+    out = sampling.mix_corpus(docs, {"nonexistent": 1.0})
+    assert out.count() == 0

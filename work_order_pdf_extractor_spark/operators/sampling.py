@@ -54,6 +54,64 @@ def stratified_sample(
     return df.filter(_bucket(key) < int(fraction * _RES))
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain mixing (the static-mixture step of published
+    data-recipe work): subsample each domain so the OUTPUT follows the
+    target ``weights``, keeping as many rows as the scarcest domain
+    allows.
+
+    The largest achievable corpus is ``T = min_s(n_s / w_s)`` (the
+    binding domain is kept whole); every other domain keeps the
+    deterministic fraction ``w_s·T / n_s`` via the same md5-threshold
+    rule as :func:`stratified_sample`. Two passes at any scale: one
+    cheap count per domain (broadcast back as a threshold literal), one
+    row-local filter — the corpus itself never shuffles. Domains absent
+    from ``weights`` are dropped (weight 0). Expected output mix is
+    exact up to hash-bucket quantization (1/10000), verified in tests.
+
+    Output adds ``keep_frac`` (the per-domain acceptance fraction) for
+    auditability."""
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[domain_col] in weights
+    }
+    if not counts:
+        return df.filter(F.lit(False)).withColumn("keep_frac", F.lit(0.0))
+    total = sum(weights[s] for s in sorted(counts))  # fixed fold order
+    norm = {s: weights[s] / total for s in counts}
+    t_max = min(counts[s] / norm[s] for s in counts)
+    fracs = {s: (norm[s] * t_max) / counts[s] for s in counts}
+    key = F.concat_ws("#", F.col(domain_col), F.col(id_col).cast("string"))
+    thresh = F.lit(None).cast("int")
+    expr = None
+    for s, frac in sorted(fracs.items()):
+        cond = F.col(domain_col) == s
+        val = F.lit(int(frac * _RES))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresh = expr.otherwise(F.lit(-1))  # unknown domain -> keep nothing
+    return (
+        df.withColumn("_thresh", thresh)
+        .filter(_bucket(key) < F.col("_thresh"))
+        .drop("_thresh")
+        .withColumn(
+            "keep_frac",
+            F.round(
+                sum(
+                    F.when(F.col(domain_col) == s, F.lit(frac)).otherwise(0.0)
+                    for s, frac in sorted(fracs.items())
+                ),
+                6,
+            ),
+        )
+    )
+
+
 def train_test_split(
     df: DataFrame,
     train_fraction: float = 0.8,

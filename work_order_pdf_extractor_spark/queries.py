@@ -2413,6 +2413,41 @@ SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
 # Registry
 # ===========================================================================
 
+def q_mix_corpus(spark, sf_dir):
+    """Weighted domain mixing (static data-recipe step): three sources
+    remixed to a 2:1:1 target — the scarcest-relative domain is kept
+    whole, the rest subsample by the same md5-threshold rule as
+    stratified_sample. One tiny count pass, then a row-local filter; the
+    corpus never shuffles. Binary-fraction weights (0.5/0.25/0.25) keep
+    the float fold order immaterial across engines."""
+    from .operators import sampling
+
+    docs = ld(spark, sf_dir, "documents")
+    return sampling.mix_corpus(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    ).select("doc_id", "source", "keep_frac")
+
+
+SQL_MIX_CORPUS = """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+cnt AS (
+  SELECT d.source, COUNT(*) AS n, MAX(w.wt) AS wt
+  FROM documents d JOIN w ON d.source = w.source
+  GROUP BY d.source),
+norm AS (
+  SELECT source, n, wt / (SELECT SUM(wt) FROM cnt) AS nw FROM cnt),
+tm AS (SELECT MIN(n / nw) AS t FROM norm),
+fr AS (
+  SELECT source, (nw * (SELECT t FROM tm)) / n AS frac FROM norm)
+SELECT d.doc_id, d.source, ROUND(f.frac, 6) AS keep_frac
+FROM documents d
+JOIN fr f ON d.source = f.source
+WHERE CAST(CONCAT('0x', substr(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000
+      < CAST(FLOOR(f.frac * 10000) AS INTEGER)
+"""
+
+
 def q_fuzzy_semi_join(spark, sf_dir):
     """Fuzzy key matching (SymSpell deletion blocking + levenshtein
     verify): every 5th customer name gets a deterministic one-character
@@ -2913,6 +2948,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
     "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
+    "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
@@ -2923,7 +2959,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- block 2: one green row on current code --------------------------
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
     # anti_join / cast_normalize promoted into the window: the r3
@@ -2944,6 +2979,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
