@@ -87,6 +87,12 @@ def _hw_probe() -> dict:
     - ``gflops``: float64 BLAS matmul (compute ceiling)
     - ``membw_gbs``: large-array copy (memory-bandwidth ceiling — the
       binding resource for Arrow/parquet scans and hash joins)
+    - ``mp_gflops_8x``: the SAME matmul in 8 concurrent processes,
+      aggregate — multi-core weather. A noisy neighbor can leave the
+      single-thread numbers intact while 28-thread Spark stages run 3×
+      slower (observed: back-to-back benches 100 s vs 33 s with
+      near-identical single-thread probes); this is the probe that sees
+      it. Read per-query seconds against mp_gflops_8x first.
     """
     import numpy as np
 
@@ -98,16 +104,44 @@ def _hw_probe() -> dict:
         t0 = time.perf_counter()
         a @ b
         best_mm = min(best_mm, time.perf_counter() - t0)
-    big = rng.random(50_000_000)  # 400 MB
+    t0 = time.perf_counter()
+    big = rng.random(25_000_000)  # 200 MB, first touch
+    alloc_s = time.perf_counter() - t0
     best_cp = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         big.copy()
         best_cp = min(best_cp, time.perf_counter() - t0)
+    import multiprocessing as mp
+
+    nprocs = 8
+    t0 = time.perf_counter()
+    # fork, not spawn: children only run numpy; fork avoids re-importing
+    # the module and is what the scaling protocol's ceiling uses too
+    with mp.get_context("fork").Pool(nprocs) as pool:
+        pool.map(_probe_matmul, range(nprocs))
+    wall = time.perf_counter() - t0
+    # subtract nothing for pool start: that cost is itself part of "can
+    # this VM start parallel work right now"
     return {
         "gflops": round(2 * 1500**3 / best_mm / 1e9, 1),
         "membw_gbs": round(2 * big.nbytes / best_cp / 1e9, 1),
+        # first-touch allocation bandwidth: collapses (observed: 0.04 GB/s
+        # vs ~3 normal) when a neighbor squeezes memory — best-of-N hides
+        # that stall from membw_gbs, so report it separately
+        "alloc_gbs": round(big.nbytes / alloc_s / 1e9, 2),
+        "mp_gflops_8x": round(nprocs * 2 * 1200**3 / wall / 1e9, 1),
     }
+
+
+def _probe_matmul(_i: int) -> int:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1200, 1200))
+    b = rng.random((1200, 1200))
+    a @ b
+    return 0
 
 
 def _ensure_bench_fixture(scale: str = "bench") -> str:
