@@ -2413,6 +2413,101 @@ SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
 # Registry
 # ===========================================================================
 
+def q_rolling_range_window(spark, sf_dir):
+    """RANGE-frame rolling aggregate (the window variant tumbling/
+    sliding/session/rows-frames don't cover): per event, the count and
+    sum of the user's events in the trailing 24 h — a true value-range
+    frame over event time, not a row count. Sums run over integer cents
+    (round(value·100)) so accumulation order can never differ between
+    engines; same-timestamp rows share a frame by RANGE semantics, so
+    the result is total-order independent."""
+    ev = ld(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ -> LTZ -> epoch seconds (ANSI forbids NTZ -> long directly);
+        # the UTC interpretation shifts both frame edges identically, so
+        # the 24 h span and ordering are unaffected
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_24h"),
+        F.sum(cents).over(w).alias("sum_cents_24h"),
+    )
+
+
+SQL_ROLLING_RANGE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS INTEGER) AS n_24h,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 salient terms by tf·(N/df) — the linear-idf
+    variant of tf-idf, chosen deliberately: tf·N is an exact integer and
+    one IEEE division by df is bit-identical across engines, where
+    log-idf would hinge on transcendental ULPs. Ranking (score DESC,
+    term ASC) is therefore fully deterministic. Standard two-aggregate
+    shape: term frequency per (doc, term), document frequency per term,
+    broadcast-scale df joined back."""
+    docs = ld(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = words.select("doc_id").distinct().count()
+    scored = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        ((F.col("tf") * F.lit(n_docs)) / F.col("df")).alias("score"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", F.col("w").alias("term"),
+            F.round("score", 4).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM words GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+scored AS (
+  SELECT tf.doc_id, tf.w, (tf.tf * (SELECT n_docs FROM n)) / df.df AS score
+  FROM tf JOIN df USING (w))
+SELECT doc_id, w AS term, ROUND(score, 4) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT doc_id, w, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, w ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
 def q_mix_corpus(spark, sf_dir):
     """Weighted domain mixing (static data-recipe step): three sources
     remixed to a 2:1:1 target — the scarcest-relative domain is kept
@@ -2949,6 +3044,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "repetition_score": (q_repetition_score, SQL_REPETITION),
     "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
     "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
+    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
@@ -2957,8 +3054,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # -- block 2: one green row on current code --------------------------
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
     # anti_join / cast_normalize promoted into the window: the r3
@@ -2979,6 +3074,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
     # -- tail: twice-green on unchanged code ------------------------------
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
