@@ -114,6 +114,23 @@ def test_lsh_buckets_plan_is_narrow(spark):
     assert "Generate" not in plan, plan  # Generate = explode/posexplode
 
 
+def test_rolling_range_window_single_shuffle(spark):
+    """A RANGE-frame rolling aggregate needs exactly one hash partition
+    on the window key — a second Exchange would mean the frame was
+    re-shuffled per aggregate."""
+    plan = _plan(Q.q_rolling_range_window(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_tfidf_df_join_is_not_a_cross(spark):
+    """tf x df combine on the term must stay a hash join (broadcast or
+    shuffled) — never a nested-loop scan of the df side."""
+    plan = _plan(Q.q_tfidf_terms(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pipeline_dual_probe_joins_are_broadcast(spark, transcripts_df, ref_orders_df):
     """Both arms of the reference's str/int dual probe must be broadcast
     HASH joins — an OR-of-equalities condition would silently degrade to
