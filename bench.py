@@ -60,6 +60,10 @@ HEADLINE = [
     "decontaminate",
     "bloom_dedup",
     "pq_topk",
+    "fuzzy_semi_join",
+    "tfidf_terms",
+    "rolling_range_window",
+    "mix_corpus",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim
