@@ -93,6 +93,39 @@ def test_no_cross_join_in_plan(spark, ref_keys):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_plan_broadcasts_ref_and_single_exchange(spark, ref_keys):
+    """The candidate path must be a BroadcastHashJoin on the reference
+    variant side with exactly ONE shuffle Exchange in the whole plan
+    (the closing per-probe-id window) — no pre-verify distinct, no
+    shuffled join of the probe side."""
+    probe_df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(ref_keys)], "pid long, key string"
+    )
+    ref_df = spark.createDataFrame([(k,) for k in ref_keys], "rkey string")
+    plan = (
+        fuzzy.fuzzy_semi_join(probe_df, ref_df, "key", "rkey", "pid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # every Exchange that is NOT a broadcast exchange is a shuffle; the
+    # PROBE (fact) side is allowed exactly one — hashpartitioning on pid
+    # for the window. A shuffle of bare rkeys for the dim-side dedupe is
+    # tolerable (it is O(dim), feeds the broadcast) but must be on rkey
+    # alone, never on the exploded variants or the candidate set.
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    probe_side = [ln for ln in shuffles if "hashpartitioning(pid" in ln]
+    assert len(probe_side) == 1, shuffles
+    for ln in shuffles:
+        if ln not in probe_side:
+            assert "hashpartitioning(rkey" in ln and ", v#" not in ln, ln
+
+
 def test_depth_guard_and_empty_key(spark):
     probe_df = spark.createDataFrame([(0, ""), (1, "a")], "pid long, key string")
     ref_df = spark.createDataFrame([("a",), ("bb",)], "rkey string")
