@@ -64,6 +64,9 @@ HEADLINE = [
     "tfidf_terms",
     "rolling_range_window",
     "mix_corpus",
+    "incremental_ingest",
+    "jpeg420_decode",
+    "ann_recall",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

@@ -128,13 +128,68 @@ def test_jpeg_rejects_subsampling_16bit_quant_and_truncated_sof():
     truncated = flat[:ncomp_at] + b"\x03" + flat[ncomp_at + 1 :]
     with pytest.raises(ValueError):
         J.decode_baseline_gray(truncated)
-    # 4:2:0 sampling factors in a color stream -> explicit boundary
+    # sampling factors beyond 2 (e.g. 4x1) -> explicit boundary
+    # (2x2 / 4:2:0 itself is now decodable, tested below)
     color = J.encode_baseline_ycbcr(8, 8, [7] * 64, [128] * 64, [128] * 64)
     csof = color.index(b"\xff\xc0")
     # SOF0: marker(2) len(2) precision(1) dims(4) ncomp(1) id(1) -> sampling
-    sampled = color[: csof + 11] + b"\x22" + color[csof + 12 :]
+    sampled = color[: csof + 11] + b"\x41" + color[csof + 12 :]
     with pytest.raises(NotImplementedError):
         J.decode_baseline(sampled)
+
+
+def test_jpeg420_region_constant_bit_exact():
+    """4:2:0: 16x16-region-constant Y + per-image constant chroma
+    round-trips bit-exactly through the subsampled MCU structure (four Y
+    blocks + half-res chroma per MCU), including non-MCU-aligned dims
+    (pad + crop) — the property the jpeg420 oracle relies on."""
+    import numpy as np
+
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    for (w, h, cb0, cr0) in [(16, 16, 128, 128), (20, 28, 140, 120),
+                             (24, 20, 122, 136)]:
+        y = [
+            (2 * (x // 16) + (yy // 16) + 5) % 256
+            for yy in range(h)
+            for x in range(w)
+        ]
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        p = J.encode_baseline_ycbcr420(
+            w, h, y, [cb0] * (cw * ch), [cr0] * (cw * ch)
+        )
+        dw, dh, rgb = J.decode_baseline(p)
+        assert (dw, dh) == (w, h)
+        yp = np.array(y, dtype=np.float64).reshape(h, w)
+        dcb, dcr = cb0 - 128.0, cr0 - 128.0
+        exp = np.stack(
+            [
+                np.clip(np.round(yp + 1.402 * dcr), 0, 255),
+                np.clip(
+                    np.round(yp - 0.344136 * dcb - 0.714136 * dcr), 0, 255
+                ),
+                np.clip(np.round(yp + 1.772 * dcb), 0, 255),
+            ],
+            axis=-1,
+        ).astype(int)
+        assert (np.array(rgb).reshape(h, w, 3) == exp).all(), (w, h, cb0, cr0)
+
+
+def test_jpeg420_matches_444_on_constant_chroma():
+    """On a constant-chroma fixture, 4:2:0 and 4:4:4 encodings of the
+    same planes must decode identically (subsampling loses nothing when
+    chroma is constant) — a differential check of the whole MCU walk."""
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    w, h = 20, 12
+    y = [(32 + 8 * ((x // 16) + (yy // 16) * 3)) % 256
+         for yy in range(h) for x in range(w)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    p420 = J.encode_baseline_ycbcr420(w, h, y, [140] * (cw * ch),
+                                      [120] * (cw * ch))
+    p444 = J.encode_baseline_ycbcr(w, h, y, [140] * (w * h), [120] * (w * h))
+    assert J.decode_baseline(p420) == J.decode_baseline(p444)
+    assert len(p420) < len(p444), "4:2:0 must be smaller (2 vs 6 chroma blocks per 16x16)"
 
 
 def test_jpeg_color_neutral_chroma_bit_exact():

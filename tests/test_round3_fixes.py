@@ -78,3 +78,28 @@ def test_dedup_fanout_is_conf_gated(spark):
         spark.conf.unset(dedup.FANOUT_CONF)
     plan_on = dedup.word_shingles(df)._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" in plan_on
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """A 200-node path (diameter 199) must fully converge — naive
+    min-label propagation with the default 30-round cap provably cannot
+    (labels travel one hop per round); large-star/small-star flattens it
+    in O(log N) rounds. Round count is asserted via the stats hook."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
+    )
+    stats = {}
+    comp = dedup.connected_components(
+        nodes, edges, max_iter=30, stats=stats
+    ).toPandas()
+    assert dict(zip(comp.doc_id, comp.component_id)) == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats  # ~log2(200) + slack, << diameter
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame([], "doc1 long, doc2 long")
+    comp = dedup.connected_components(nodes, edges).toPandas()
+    assert dict(zip(comp.doc_id, comp.component_id)) == {i: i for i in range(4)}

@@ -197,3 +197,36 @@ def test_ivf_recall_within_cells(spark, emb, brute):
             assert ivf_top1.get(q) == n, (q, n, ivf_top1.get(q))
             checked += 1
     assert checked > 10, "fixture degenerated: no intra-cell true neighbors"
+
+
+def test_l2_topk_matches_brute_force(spark, emb):
+    """l2_topk's top-3 by rounded squared distance must equal a numpy
+    brute force under the same (round(d2,4) ASC, nid ASC) total order."""
+    import numpy as np
+
+    rows = emb.toPandas()
+    ids = rows.vec_id.to_numpy()
+    mat = np.array(list(rows.embedding), dtype=np.float64)
+    qmask = ids % 7 == 0
+    out = S.l2_topk(
+        emb, query_df=emb.filter("vec_id % 7 = 0"), k=3
+    ).toPandas()
+    got = {
+        q: list(g.sort_values("rank").nid)
+        for q, g in out.groupby("qid")
+    }
+    for qi in np.nonzero(qmask)[0]:
+        q = ids[qi]
+        qq = float(mat[qi] @ mat[qi])
+        d2 = np.round(
+            qq - 2.0 * (mat @ mat[qi]) + (mat * mat).sum(axis=1), 4
+        )
+        order = sorted(
+            (float(d2[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != q
+        )[:3]
+        assert got[q] == [n for _d, n in order], q
+
+
+def test_l2_topk_full_scan_guard(spark, emb):
+    with pytest.raises(ValueError):
+        S.l2_topk(emb)

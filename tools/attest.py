@@ -168,6 +168,40 @@ def _module_imports(dotted: str, text: str, modules: dict[str, str]) -> set[str]
     return out
 
 
+def _scan_def(src: str, modules: dict[str, str]) -> tuple[set[str], set[str]]:
+    """(referenced identifier names, package modules imported/attributed)
+    for one top-level def/assign source segment. AST-based so prose in
+    docstrings ("semi-join membership") can never alias a module name;
+    falls back to a raw identifier scan (over-inclusive, still safe) if
+    the segment does not parse standalone."""
+    names: set[str] = set()
+    mods: set[str] = set()
+    basenames = {m.rsplit(".", 1)[-1]: m for m in modules}
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        idents = set(_IDENT.findall(src))
+        return idents, {basenames[i] for i in idents if i in basenames}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Attribute) and isinstance(
+            node.value, ast.Name
+        ):
+            # module-style usage: fuzzy.fuzzy_semi_join(...)
+            if node.value.id in basenames:
+                mods.add(basenames[node.value.id])
+        elif isinstance(node, ast.ImportFrom) and node.level >= 1:
+            base = node.module or ""
+            for alias in node.names:
+                cand = f"{base}.{alias.name}" if base else alias.name
+                if cand in modules:
+                    mods.add(cand)
+                elif base in modules:
+                    mods.add(base)
+    return names, mods
+
+
 def fingerprints(rev: str | None) -> dict[str, str]:
     """query name -> sha256 content fingerprint at the given tree."""
     modules = _pkg_files(rev)
@@ -176,7 +210,6 @@ def fingerprints(rev: str | None) -> dict[str, str]:
         return {}
     modules.pop("__init__", None)
     idx = _QueriesIndex(qtext, modules)
-    basenames = {m.rsplit(".", 1)[-1]: m for m in modules}
 
     out = {}
     for name, (fn_name, sql_name) in idx.registry.items():
@@ -192,11 +225,10 @@ def fingerprints(rev: str | None) -> dict[str, str]:
             seen_defs.add(d)
             src = idx.defs[d]
             parts[f"def:{d}"] = src
-            idents = set(_IDENT.findall(src))
+            idents, ref_mods = _scan_def(src, modules)
+            dep_mods |= ref_mods
             pending.extend(i for i in idents if i in idx.defs and i not in seen_defs)
             for i in idents:
-                if i in basenames:
-                    dep_mods.add(basenames[i])
                 if i in idx.import_symbol_module:
                     dep_mods.add(idx.import_symbol_module[i])
         # transitive closure over package-internal imports of dep modules

@@ -217,10 +217,15 @@ AC_CHROMA_VALS = [
 ]
 
 
-def _pad_plane(samples: list[int], width: int, height: int) -> np.ndarray:
+def _pad_plane(
+    samples: list[int], width: int, height: int, align: int = 8
+) -> np.ndarray:
+    """Edge-replicate a plane out to a multiple of ``align`` (8 for 4:4:4
+    blocks, 16 for the luma plane of a 4:2:0 MCU grid)."""
     img = np.asarray(samples, dtype=np.float64).reshape(height, width)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    return np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    aw = (width + align - 1) // align * align
+    ah = (height + align - 1) // align * align
+    return np.pad(img, ((0, ah - height), (0, aw - width)), mode="edge")
 
 
 def _write_block(
@@ -384,6 +389,96 @@ def encode_baseline_ycbcr(
     )
 
 
+def encode_baseline_ycbcr420(
+    width: int,
+    height: int,
+    y: list[int],
+    cb_half: list[int],
+    cr_half: list[int],
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+) -> bytes:
+    """Encode as baseline-sequential 4:2:0 COLOR JFIF — the single most
+    common JPEG variant in crawled corpora: luma at full resolution with
+    sampling factor 2×2, chroma planes at HALF resolution
+    (``ceil(w/2) × ceil(h/2)``, supplied already-downsampled) at 1×1.
+    Each MCU covers 16×16 pixels and carries four Y blocks (2×2 raster
+    order) + one Cb + one Cr. Same table layout as
+    :func:`encode_baseline_ycbcr` (luma/chroma quant 0/1, Huffman pairs
+    0 and 1, per-component DC predictors)."""
+    lq = list(luma_quant or FLAT_QUANT)
+    cq = list(chroma_quant or FLAT_QUANT)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    yplane = _pad_plane(y, width, height, align=16)
+    cbp = _pad_plane(cb_half, cw, ch)
+    crp = _pad_plane(cr_half, cw, ch)
+    # chroma must cover the full MCU grid: mcux*8 × mcuy*8 samples
+    mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+    cbp = np.pad(
+        cbp,
+        ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])),
+        mode="edge",
+    )
+    crp = np.pad(
+        crp,
+        ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])),
+        mode="edge",
+    )
+    qmats = [
+        np.asarray(lq, dtype=np.float64).reshape(8, 8),
+        np.asarray(cq, dtype=np.float64).reshape(8, 8),
+    ]
+    luma_codes = (
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+    )
+    chroma_codes = (
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(2):  # four Y blocks, 2x2 raster order
+                for h in range(2):
+                    r0, c0 = my * 16 + v * 8, mx * 16 + h * 8
+                    preds[0] = _write_block(
+                        w, yplane[r0 : r0 + 8, c0 : c0 + 8],
+                        qmats[0], *luma_codes, preds[0],
+                    )
+            preds[1] = _write_block(
+                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[1],
+            )
+            preds[2] = _write_block(
+                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[2],
+            )
+    w.flush()
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, bytes([0x00]) + _zz_bytes(lq)
+               + bytes([0x01]) + _zz_bytes(cq))
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
 def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
     """Huffman-decode one block's zigzag coefficients; returns (zz, dc)."""
     zz = [0] * 64
@@ -409,13 +504,15 @@ def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
 
 def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a baseline-sequential 8-bit JPEG — grayscale (1 component)
-    or YCbCr 4:4:4 color (3 components, interleaved MCUs, per-component
-    quant/Huffman selectors and DC predictors) — to RGB triples: marker
-    walk (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode,
-    dequantize, inverse zigzag, float IDCT, JFIF YCbCr→RGB for color,
-    level shift, clamp, crop. Outside the subset (progressive SOF2,
-    subsampling, 16-bit quant, restart intervals) raises
-    ``NotImplementedError``; corrupt streams raise ``ValueError``."""
+    or YCbCr color with sampling factors up to 2×2 (4:4:4, 4:2:2 and
+    4:2:0 interleaved MCUs; per-component quant/Huffman selectors and DC
+    predictors; subsampled planes upsampled by sample replication) — to
+    RGB triples: marker walk (DQT/SOF0/DHT/SOS), canonical-Huffman
+    entropy decode, dequantize, inverse zigzag, float IDCT, JFIF
+    YCbCr→RGB for color, level shift, clamp, crop. Outside the subset
+    (progressive SOF2, sampling factors > 2, 16-bit quant, restart
+    intervals) raises ``NotImplementedError``; corrupt streams raise
+    ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
@@ -454,9 +551,14 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
                 raise ValueError("truncated SOF0")
             for c in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError("subsampling unsupported")
-                comp_specs.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2 unsupported"
+                    )
+                if ncomp == 1 and sampling != 0x11:
+                    raise NotImplementedError("grayscale must be 1x1 sampled")
+                comp_specs.append((cid, tq, hi, vi))
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(data):
@@ -480,24 +582,41 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
     if width is None or not comp_specs:
         raise ValueError("missing SOF0")
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    # interleaved MCU grid: Hmax×Vmax-sampled components contribute
+    # Hi×Vi blocks per MCU in raster order (4:4:4 degenerates to the
+    # one-block-per-component case; 4:2:0 is 4 Y + 1 Cb + 1 Cr per MCU)
+    hmax = max(h for _cid, _tq, h, _v in comp_specs)
+    vmax = max(v for _cid, _tq, _h, v in comp_specs)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comp_specs
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for _cid, _tq, h, v in comp_specs
     ]
     r = _BitReader(payload, pos)
     preds = [0] * len(comp_specs)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comp_specs):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tq, hi, vi) in enumerate(comp_specs):
                 dsel, asel = scan_sel[cid]
-                zz, preds[ci] = _read_block(
-                    r, dc_tables[dsel], ac_tables[asel], preds[ci]
-                )
-                coef = np.zeros(64)
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i]
-                block = _C.T @ (coef.reshape(8, 8) * quants[tq]) @ _C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for v in range(vi):
+                    for h in range(hi):
+                        zz, preds[ci] = _read_block(
+                            r, dc_tables[dsel], ac_tables[asel], preds[ci]
+                        )
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i]
+                        block = _C.T @ (coef.reshape(8, 8) * quants[tq]) @ _C
+                        r0 = (my * vi + v) * 8
+                        c0 = (mx * hi + h) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    # upsample subsampled planes to full resolution by sample replication
+    for ci, (_cid, _tq, hi, vi) in enumerate(comp_specs):
+        if hi != hmax or vi != vmax:
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1
+            )
 
     if len(planes) == 1:
         v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)

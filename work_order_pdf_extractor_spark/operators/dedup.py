@@ -14,6 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .common import (  # noqa: F401  (re-exported: long-time import site)
+    FANOUT_CONF,
+    ensure_parallelism,
+    stable_hash64,
+    word_shingles,
+)
+
 N_MINHASH = 8
 LSH_BANDS = 4
 SIMHASH_BITS = 16
@@ -28,35 +35,6 @@ def MH_A(i: int) -> int:
 
 def MH_B(i: int) -> int:
     return 12345 + 789 * i
-
-
-FANOUT_CONF = "spark.workorder.dedup.fanout.enabled"
-
-
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Fan a narrow input out to cluster parallelism before explode-heavy
-    work. A single small parquet file scans as 1 task, and everything
-    downstream of an explode inherits that parallelism until the first
-    shuffle. Gated by the session conf ``spark.workorder.dedup.fanout.
-    enabled`` (default true) — a per-session, runtime-settable switch
-    rather than a mutable module global (ADVICE r2): at real scale, where
-    the scan is already wider than the cluster, ``spark.conf.set(...,
-    'false')`` removes the round-robin shuffle from every dedup/text
-    operator at once and they run shuffle-free up to their aggregation.
-    The gate avoids probing ``df.rdd.getNumPartitions()``, which forces a
-    driver-side conversion of the analyzed plan on every call; what it
-    shuffles when on is the pre-explode rows (id + text), one pass."""
-    spark = df.sparkSession
-    if spark.conf.get(FANOUT_CONF, "true").lower() != "true":
-        return df
-    target = min_parts or spark.sparkContext.defaultParallelism
-    return df.repartition(target)
-
-
-def stable_hash64(col: F.Column, seed: int | None = None) -> F.Column:
-    """First 8 md5 hex chars → bigint; identical in Spark and DuckDB."""
-    src = F.concat(F.lit(f"{seed}#"), col) if seed is not None else col
-    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long")
 
 
 def exact_duplicates(
@@ -87,22 +65,6 @@ def deduplicate_exact(
     )
     return df.join(keepers, id_col, "left_semi")
 
-
-def word_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Distinct n-word shingles per document (the unit of near-dup
-    comparison). Explode happens JVM-side from a split array."""
-    words = ensure_parallelism(
-        df.select(id_col, F.split(text_col, " ").alias("ws"))
-    )
-    sz = F.size("ws")
-    idx = F.sequence(F.lit(0), sz - n)
-    sh = words.filter(sz >= n).select(id_col, F.explode(idx).alias("i"), "ws")
-    parts = [F.col("ws")[F.col("i") + k] for k in range(n)]
-    return sh.select(
-        id_col, F.concat_ws(" ", *parts).alias("shingle")
-    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -201,23 +163,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
+def band_buckets(
+    sig: DataFrame,
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
-    n: int = 3,
-    text_col: str = "text",
     id_col: str = "doc_id",
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash+LSH candidate pairs: signatures banded into ``bands`` groups;
-    docs sharing any band bucket become candidates. The join key is a band
-    hash — linear in corpus size, never quadratic."""
+    """(id, band, bucket) rows from a MinHash signature table — ONE pass
+    over the signatures: bands come from array+explode, not a union of
+    per-band selects (a union would re-execute the whole shingle→minhash
+    subtree once per band). Shared by the self-join candidate generator
+    and the batch-vs-corpus incremental-ingest join."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles)
-    # ONE pass over the signatures: bands come from array+explode, not a
-    # union of per-band selects (a union would re-execute the whole
-    # shingle→minhash subtree once per band)
     band_structs = []
     for b in range(bands):
         cols = [
@@ -230,9 +187,25 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    allb = sig.select(
+    return sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: signatures banded into ``bands`` groups;
+    docs sharing any band bucket become candidates. The join key is a band
+    hash — linear in corpus size, never quadratic."""
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles)
+    allb = band_buckets(sig, n_hashes, bands, id_col)
     a, b_ = allb.alias("a"), allb.alias("b")
     return (
         a.join(
@@ -455,13 +428,18 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    check_every: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components of the near-dup graph by MIN-LABEL PROPAGATION:
-    every node starts labeled with its own id; each round every node takes
-    the min of its own and its neighbors' labels; fixpoint = the component
-    id is the minimum node id of the component. Deterministic (the fixpoint
-    is unique) regardless of partitioning or round count. Output:
-    ``(id_col, component_id)`` — singletons label themselves.
+    """Connected components of the near-dup graph by the LARGE-STAR /
+    SMALL-STAR alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round rewires every node's neighborhood
+    toward its local minimum, so component trees flatten geometrically —
+    O(log N) rounds on ANY graph shape (a naive min-label propagation
+    needs O(diameter) rounds, which a 200-node near-dup chain already
+    defeats). Deterministic fixpoint: every node ends pointing at its
+    component's minimum id. Output: ``(id_col, component_id)`` —
+    singletons label themselves.
 
     This is the exact duplicate-CLUSTER semantics that the greedy
     keeper rule of :func:`deduplicate_near` approximates: under a chain
@@ -469,46 +447,77 @@ def connected_components(
     components also give the cluster assignment itself, which training
     pipelines keep (cluster size features, one-per-cluster sampling).
 
-    Scale shape: each round is one hash join (edges × labels) + one
-    map-side-combinable min aggregation — O(|E|) per round, O(diameter)
-    rounds; convergence is detected by the monotone label sum (labels only
-    ever decrease), and each round's result is ``localCheckpoint``-ed so
-    the plan does not grow with iterations. Production systems bound
-    rounds to O(log N) with the large-star/small-star transform
-    (Kiveris et al.) — the per-round join shape below is the same; this
-    implementation trades that for simplicity since near-dup components
-    are overwhelmingly tiny (diameter ≤ a few)."""
-    e = edges.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-    both = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    Per round: large-star — for each node u with m = min(Γ(u) ∪ {u}),
+    connect every strictly-larger neighbor to m; small-star — on the
+    downward-normalized edges, connect every ≤-neighbor and u itself to
+    m. Each phase is one map-side-combinable min aggregation plus one
+    hash join on node ids — O(|E|), never materializing neighborhoods
+    driver-side. Driver round-trips are BATCHED: ``check_every`` rounds
+    run as one lazy plan between eager ``localCheckpoint`` + convergence
+    probes (count + order-free xxhash sum of the edge set; stable hash ⇒
+    the star fixpoint — rounds are idempotent there — so the loop exits).
+    ``stats['rounds']`` reports rounds actually executed."""
+    e = (
+        edges.select(
+            F.col("doc1").cast("long").alias("u"),
+            F.col("doc2").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
-    prev_sum = None
-    for _ in range(max_iter):
-        neigh = (
-            both.join(labels, both["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nmin"))
-            .withColumnRenamed("a", "nid")
-        )
-        labels = (
-            labels.join(neigh, labels["id"] == neigh["nid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
+    rounds = 0
+    prev_probe = None
+    converged = False
+    while rounds < max_iter and not converged:
+        for _ in range(min(check_every, max_iter - rounds)):
+            # large-star: m over the FULL neighborhood (both directions)
+            nb = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .localCheckpoint(eager=True)
+            mins = nb.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            e = (
+                nb.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: downward edges only; u itself also re-points
+            ee = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins2 = ee.groupBy("u").agg(F.min("v").alias("m"))
+            e = (
+                ee.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mins2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            rounds += 1
+        e = e.localCheckpoint(eager=True)
+        probe = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                # decimal sum: order-free AND overflow-free under ANSI
+                # (a long sum of 64-bit hashes overflows immediately)
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
         )
-        s = labels.agg(F.sum("comp")).first()[0]
-        if s == prev_sum:  # labels only decrease → fixpoint reached
-            break
-        prev_sum = s
-    return labels.select(
-        F.col("id").alias(id_col), F.col("comp").alias("component_id")
+        converged = probe == prev_probe
+        prev_probe = probe
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the star fixpoint every non-root points straight at its root
+    parents = e.groupBy("u").agg(F.min("v").alias("component_id"))
+    return nodes.select(F.col(id_col).cast("long").alias("u")).join(
+        parents, "u", "left"
+    ).select(
+        F.col("u").alias(id_col),
+        F.coalesce("component_id", F.col("u")).alias("component_id"),
     )
 
 

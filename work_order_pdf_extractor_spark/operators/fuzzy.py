@@ -81,7 +81,7 @@ def fuzzy_semi_join(
     # carries exactly one probe-side shuffle, of bare pre-explode keys,
     # wherever it lands. At real scale the gate turns this off and the
     # only shuffle is the window over verified matches.
-    from .dedup import FANOUT_CONF
+    from .common import FANOUT_CONF
 
     spark = probe.sparkSession
     pv = probe.select(id_col, F.col(probe_key).alias("pkey"))

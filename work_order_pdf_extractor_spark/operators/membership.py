@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import stable_hash64
+from .common import stable_hash64
 
 M_BITS_DEFAULT = 1 << 17  # 131072 bits = 2048 bigint words (16 KiB)
 K_DEFAULT = 4

@@ -11,10 +11,11 @@ Decoders are stdlib-only and cover exactly the formats the builders emit
 
 - image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded), binary
   P6 PPM, non-interlaced 8-bit RGB PNG (zlib inflate + full filter
-  reconstruction), and baseline-sequential JPEG — grayscale AND YCbCr
-  4:4:4 color (real Huffman entropy decode + dequant + IDCT + JFIF
-  YCbCr→RGB, ``core/jpegcodec.py``). Progressive / subsampled JPEG is
-  the remaining documented :class:`NotImplementedError` boundary.
+  reconstruction), and baseline-sequential JPEG — grayscale, YCbCr
+  4:4:4 color, and 4:2:0 chroma-subsampled color (real Huffman entropy
+  decode + dequant + IDCT + chroma upsampling + JFIF YCbCr→RGB,
+  ``core/jpegcodec.py``). Progressive JPEG is the remaining documented
+  :class:`NotImplementedError` boundary.
 - audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
 - video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
   decode would be the image path above).
@@ -36,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import ensure_parallelism
+from .common import ensure_parallelism
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -610,6 +611,54 @@ def media_color_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_baseline_ycbcr(w, h, y, neutral, neutral)
                 )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
+def media_jpeg420_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic 4:2:0 chroma-subsampled baseline JPEG
+    per document — the most common JPEG variant in crawled corpora.
+    Dims ``(16 + 4·(doc_id mod 3), 16 + 4·((doc_id//3) mod 4))`` (NOT
+    multiples of 16, so MCU padding + crop are exercised); Y constant
+    per 16×16 region at ``(2·rx + ry + doc_id) mod 256`` (so every 8×8
+    block stays constant across the edge-replicated pad → bit-exact
+    round trip under the flat quant table); chroma constant per doc at
+    ``cb = 128 + 3·(doc_id mod 5) − 6``, ``cr = 128 + 4·((doc_id//5)
+    mod 5) − 8`` — NON-neutral, so the chroma path and upsampling do
+    real work, with offsets chosen so no YCbCr→RGB product lands on an
+    exact .5 (numpy half-even and SQL half-away rounding provably
+    agree; validated for every offset in the set)."""
+    from ..core.jpegcodec import encode_baseline_ycbcr420
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 16 + 4 * (did % 3)
+                h = 16 + 4 * ((did // 3) % 4)
+                y = [
+                    (2 * (x // 16) + (yy // 16) + did) % 256
+                    for yy in range(h)
+                    for x in range(w)
+                ]
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+                cb = [128 + 3 * (did % 5) - 6] * (cw * ch)
+                cr = [128 + 4 * ((did // 5) % 5) - 8] * (cw * ch)
+                payloads.append(encode_baseline_ycbcr420(w, h, y, cb, cr))
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"].values,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import stable_hash64
+from .common import stable_hash64
 
 # hash-threshold resolution: fractions are quantized to 1/10000
 _RES = 10_000

@@ -148,6 +148,47 @@ def cosine_topk_fast(
     )
 
 
+def l2_topk(
+    df: DataFrame,
+    query_df: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Exact top-k squared-L2 neighbors of each query vector — the
+    ground truth for the PQ/ADC search, which approximates THIS metric
+    (not cosine). Output: (qid, nid, d2, rank), rank ascending by
+    ``round(q·q − 2·q·n + n·n, 4)`` with nid tiebreak — the same
+    one-final-round determinism contract as :func:`cosine_topk`, and the
+    same explicit full-scan guard."""
+    if query_df is None and not allow_full_scan:
+        raise ValueError(
+            "l2_topk without query_df is a full-corpus cross join; pass "
+            "a bounded query_df, or allow_full_scan=True for "
+            "small-corpus verification"
+        )
+    q = (query_df if query_df is not None else df).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    d2 = F.round(
+        _dot("qv", "qv") - F.lit(2.0) * _dot("qv", "nv") + _dot("nv", "nv"),
+        4,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", d2.alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "d2", "rank")
+    )
+
+
 def _plane_projection(vec_col: str, j: int) -> F.Column:
     """Projection of a vector onto deterministic integer plane ``j``,
     computed per row with higher-order functions: ``transform`` (with the

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import ensure_parallelism, stable_hash64
+from .common import ensure_parallelism, stable_hash64
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 

@@ -2183,6 +2183,54 @@ FROM blocks GROUP BY 1, 2, 3
 """
 
 
+def q_jpeg420_decode(spark, sf_dir):
+    """4:2:0 chroma-subsampled JPEG decode end-to-end — the most common
+    crawled-corpus JPEG variant: 16×16 MCUs of four Y blocks + one
+    Cb + one Cr at half resolution, decoded with real entropy decode,
+    per-component DC predictors, chroma upsampling, and JFIF YCbCr→RGB
+    with NON-neutral chroma. The oracle reproduces sum_luma analytically
+    per 16×16 region: constant (Y, Cb, Cr) per region → constant RGB →
+    BT.601 luma, with region areas clipped at the (non-MCU-aligned)
+    image edges."""
+    from .operators import multimodal
+
+    media = multimodal.media_jpeg420_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_JPEG420_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + 4 * (doc_id % 3) AS INTEGER) AS width,
+         CAST(16 + 4 * (CAST(doc_id // 3 AS BIGINT) % 4) AS INTEGER) AS height,
+         CAST(3 * (doc_id % 5) - 6 AS DOUBLE) AS dcb,
+         CAST(4 * (CAST(doc_id // 5 AS BIGINT) % 5) - 8 AS DOUBLE) AS dcr
+  FROM documents),
+regions AS (
+  SELECT media_id, width, height, dcb, dcr, rx, ry,
+         CAST((2*rx + ry + media_id) % 256 AS DOUBLE) AS yv,
+         LEAST(16, width - 16*rx) AS rw,
+         LEAST(16, height - 16*ry) AS rh
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, CAST((width + 15) // 16 AS BIGINT) - 1)) AS rx),
+       LATERAL (SELECT unnest(generate_series(0, CAST((height + 15) // 16 AS BIGINT) - 1)) AS ry)),
+rgb AS (
+  SELECT media_id, width, height, rw, rh,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.402 * dcr))) AS BIGINT) AS r,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv - 0.344136 * dcb - 0.714136 * dcr))) AS BIGINT) AS g,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.772 * dcb))) AS BIGINT) AS b
+  FROM regions)
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(rw * rh * ((299*r + 587*g + 114*b) // 1000)) AS BIGINT) AS sum_luma
+FROM rgb GROUP BY 1, 2, 3
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode end-to-end: a deterministic PCM16 WAV per document
     (n = 16 + doc_id mod 50 samples; sample[i] = (37i + 11·doc_id) mod 4096
@@ -2941,6 +2989,128 @@ WHERE rank <= 3
 """
 
 
+ANN_RECALL_Q = 100  # cosine-metric recall query set: vec_id < 100
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of every approximate ANN path against its exact ground
+    truth on deterministic query sets — the number a training pipeline
+    actually tunes bands/K/m against. lsh_topk_banded and ivf_topk are
+    measured against exact cosine top-3 (queries vec_id < 100); pq_topk
+    approximates squared L2, so it is measured against exact-L2 top-3 on
+    its own query set (vec_id % 100 = 0). Both engines produce the SAME
+    deterministic top-3 lists (round-4 sims, id tiebreaks), so the
+    hit counts — and therefore recall — are integer-exact."""
+    from .operators import pq, similarity
+
+    emb = ld(spark, sf_dir, "embeddings")
+    qcos = emb.filter(F.col("vec_id") < ANN_RECALL_Q)
+    exact_cos = similarity.cosine_topk(emb, query_df=qcos, k=3).select(
+        "qid", "nid"
+    )
+    banded = similarity.lsh_topk_banded(
+        emb, k=3, bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND
+    ).filter(F.col("qid") < ANN_RECALL_Q)
+    ivf = similarity.ivf_topk(
+        emb, k=3, n_centroids=IVF_K,
+        centroids=_trained_ivf_centroids(spark, sf_dir),
+    ).filter(F.col("qid") < ANN_RECALL_Q)
+    pqq = emb.filter(F.col("vec_id") % 100 == 0)
+    exact_l2 = similarity.l2_topk(emb, query_df=pqq, k=3).select("qid", "nid")
+    pq_res = pq.pq_topk(
+        None, _trained_pq_codebooks(spark, sf_dir), pqq, k=3,
+        codes=_materialized_pq_codes(spark, sf_dir),
+    )
+
+    def one(name: str, exact: DataFrame, approx: DataFrame) -> DataFrame:
+        j = exact.join(
+            approx.select("qid", "nid").withColumn("hit", F.lit(1)),
+            ["qid", "nid"],
+            "left",
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("exact_rows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hit_rows"),
+        ).select(
+            F.lit(name).alias("method"),
+            "exact_rows",
+            "hit_rows",
+            (F.col("hit_rows") / F.col("exact_rows")).alias("recall"),
+        )
+
+    return (
+        one("lsh_banded", exact_cos, banded)
+        .unionAll(one("ivf", exact_cos, ivf))
+        .unionAll(one("pq_adc", exact_l2, pq_res))
+    )
+
+
+_SQL_EXACT_COS3 = f"""
+  WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id < {ANN_RECALL_Q}),
+  c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+  pairs AS (
+    SELECT qid, nid,
+           ROUND(list_dot_product(qv::DOUBLE[], nv::DOUBLE[]) /
+                 (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+                  sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[]))), 4) AS sim
+    FROM q, c WHERE qid <> nid)
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+    FROM pairs)
+  WHERE rank <= 3
+"""
+
+_SQL_EXACT_L23 = """
+  WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id % 100 = 0),
+  c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+  pairs AS (
+    SELECT qid, nid,
+           ROUND(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])
+                 - 2.0 * list_dot_product(qv::DOUBLE[], nv::DOUBLE[])
+                 + list_dot_product(nv::DOUBLE[], nv::DOUBLE[]), 4) AS d2
+    FROM q, c WHERE qid <> nid)
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rank
+    FROM pairs)
+  WHERE rank <= 3
+"""
+
+SQL_ANN_RECALL = f"""
+WITH exact_cos AS ({_SQL_EXACT_COS3}),
+exact_l2 AS ({_SQL_EXACT_L23}),
+lshb AS (SELECT qid, nid FROM ({SQL_LSH_TOPK_BANDED})
+         WHERE qid < {ANN_RECALL_Q}),
+ivfr AS (SELECT qid, nid FROM ({SQL_IVF_TOPK})
+         WHERE qid < {ANN_RECALL_Q}),
+pqr AS (SELECT qid, nid FROM ({SQL_PQ_TOPK})),
+counts AS (
+  SELECT 'lsh_banded' AS method,
+         (SELECT COUNT(*) FROM exact_cos) AS exact_rows,
+         (SELECT COUNT(*) FROM exact_cos e
+          JOIN lshb a ON e.qid = a.qid AND e.nid = a.nid) AS hit_rows
+  UNION ALL
+  SELECT 'ivf',
+         (SELECT COUNT(*) FROM exact_cos),
+         (SELECT COUNT(*) FROM exact_cos e
+          JOIN ivfr a ON e.qid = a.qid AND e.nid = a.nid)
+  UNION ALL
+  SELECT 'pq_adc',
+         (SELECT COUNT(*) FROM exact_l2),
+         (SELECT COUNT(*) FROM exact_l2 e
+          JOIN pqr a ON e.qid = a.qid AND e.nid = a.nid))
+SELECT method, CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST(hit_rows AS BIGINT) AS hit_rows,
+       hit_rows / CAST(exact_rows AS DOUBLE) AS recall
+FROM counts
+"""
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental-ingest dedup via a DETERMINISTIC distributed Bloom
     filter: every 10th document plays the incoming batch, the rest the
@@ -2996,16 +3166,112 @@ FROM hits h LEFT JOIN exact e ON h.doc_id = e.doc_id
 """
 
 
-# ORDERING IS THE ATTESTATION POLICY (r2 judge finding #1): the driver's
-# correctness gate checks the FIRST 50 entries, so entries are ranked by
-# attestation need, not by topic:
-#   block 1 — never driver-attested, or implementation changed/new this
-#             round (similarity tier rewritten in r2 + r3 de-skew, text
-#             analysis, multimodal, connectors, r3 semantics fixes);
-#   block 2 — attested once for the current implementation (r2 rows);
-#   tail    — attested green in BOTH prior rounds on unchanged code
-#             (scalar/agg/set basics) — they rotate back in once the
-#             above have their green rows.
+def q_incremental_ingest(spark, sf_dir):
+    """The composed nightly ingest a 100-TB corpus operator actually
+    runs, as ONE lazy plan: new batch → Bloom prefilter (broadcast
+    bitmap, no corpus join for definite-news) → exact verify for the
+    maybes only → banded MinHash-LSH near-dup check vs the standing
+    corpus (Jaccard on candidates only) → disposition per batch doc.
+    The scale twin of the reference's destructive-rename idempotence
+    (work_order_extractor.py:1769-1797). Batch fixture: every 5th doc;
+    multiples of 10 arrive verbatim (exact dups when their base is in
+    the corpus), the others carry one appended token (near dups of
+    their base at 3-gram Jaccard (W-2)/(W-1))."""
+    from .plans import ingest
+
+    docs = ld(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 1).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zzzq")))
+        .alias("text"),
+    )
+    return ingest.incremental_ingest(corpus, batch)
+
+
+_SQL_ING_SH_B = _SQL_SHINGLES.replace("FROM documents", "FROM surv")
+_SQL_ING_SH_C = _SQL_SHINGLES.replace("FROM documents", "FROM corpusd")
+
+SQL_INCREMENTAL_INGEST = f"""
+WITH corpusd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
+batchd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ELSE text || ' zzzq' END AS text
+  FROM documents WHERE doc_id % 5 = 0),
+corpc AS (SELECT lower(trim(text)) AS canon FROM corpusd),
+batc AS (SELECT doc_id, lower(trim(text)) AS canon FROM batchd),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+cpos AS (
+  SELECT CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || '#' || canon),
+                                  1, 8)) AS BIGINT) % 131072 AS p
+  FROM corpc, seeds),
+words AS (
+  SELECT CAST(p // 63 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+  FROM cpos GROUP BY 1),
+bpos AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || '#' || canon),
+                                  1, 8)) AS BIGINT) % 131072 AS p
+  FROM batc, seeds),
+hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w.word IS NOT NULL
+                   AND ((w.word >> CAST(p % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS n_hits
+  FROM bpos LEFT JOIN words w ON CAST(p // 63 AS BIGINT) = w.word_idx
+  GROUP BY doc_id),
+exact AS (SELECT DISTINCT b.doc_id
+          FROM batc b JOIN corpc c ON b.canon = c.canon),
+surv AS (SELECT doc_id, text FROM batchd
+         WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+shb AS ({_SQL_ING_SH_B}),
+shc AS ({_SQL_ING_SH_C}),
+sigb AS (
+  SELECT doc_id,
+    {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+  FROM shb GROUP BY doc_id),
+sigc AS (
+  SELECT doc_id,
+    {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+  FROM shc GROUP BY doc_id),
+bandsb AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sigb"
+      for b in range(LSH_BANDS)
+  )}),
+bandsc AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sigc"
+      for b in range(LSH_BANDS)
+  )}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+  FROM bandsb a JOIN bandsc c ON a.band = c.band AND a.bucket = c.bucket),
+zb AS (SELECT doc_id, COUNT(*) AS n1 FROM shb GROUP BY doc_id),
+zc AS (SELECT doc_id, COUNT(*) AS n2 FROM shc GROUP BY doc_id),
+common AS (
+  SELECT cd.bid, cd.cid, COUNT(*) AS n_common
+  FROM cand cd
+  JOIN shb s1 ON s1.doc_id = cd.bid
+  JOIN shc s2 ON s2.doc_id = cd.cid AND s2.shingle = s1.shingle
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT bid AS doc_id FROM common
+  JOIN zb ON common.bid = zb.doc_id JOIN zc ON common.cid = zc.doc_id
+  WHERE ROUND(n_common / (zb.n1 + zc.n2 - n_common), 6) >= 0.6)
+SELECT b.doc_id, h.n_hits = 4 AS bloom_maybe,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS disposition
+FROM batchd b
+JOIN hits h ON b.doc_id = h.doc_id
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near nr ON b.doc_id = nr.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Ordering IS the attestation policy: the driver checks the first 50
     # slots, and tools/attest.py mechanically derives which queries are
@@ -3014,19 +3280,16 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # pending query MUST sit in this first block; tests/test_attestation
     # enforces it against the committed ATTESTATION.json.
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
+    "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
-    "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
-    "session_window": (q_session_window, SQL_SESSION_WINDOW),
-    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "countmin": (q_countmin, SQL_COUNTMIN),
-    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
-    # -- block 1: latest-green, kept in-window while slots allow ----------
     "dedup_near_materialize": (q_dedup_near_materialize, SQL_DEDUP_NEAR),
     "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
@@ -3043,17 +3306,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jpeg_color_decode": (q_jpeg_color_decode, SQL_JPEG_COLOR_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
-    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
-    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
@@ -3062,8 +3320,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
     "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
-    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
-    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
@@ -3071,12 +3327,21 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fluency_score": (q_fluency_score, SQL_FLUENCY),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    # -- block 2: one green row on current code --------------------------
+    # -- attested at their fingerprints; window spill-over re-attests ----
+    "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
+    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
+    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
-    # anti_join / cast_normalize promoted into the window: the r3
-    # whitespace-parity fix changed the normalize they exercise
-    # (plans/pipeline.py trim_ws, core/textnorm.py _JAVA_WS).
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
     "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
@@ -3090,7 +3355,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
     "top_k": (q_top_k, SQL_TOP_K),
     "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
-    # -- tail: twice-green on unchanged code ------------------------------
     "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
