@@ -80,8 +80,11 @@ def incremental_ingest(
     survivors = bat.join(
         flagged.filter(~F.col("exact_dup")).select(id_col), id_col, "left_semi"
     ).select(id_col, text_col)
-    sh_b = dedup.word_shingles(survivors, n, text_col, id_col)
-    sh_c = dedup.word_shingles(corpus, n, text_col, id_col)
+    # each shingle table feeds BOTH its signature aggregate and the
+    # Jaccard-verify join — persist so the explode runs once per side
+    # (same shared-shingles shape dedup_near_materialize plan-tests)
+    sh_b = dedup.word_shingles(survivors, n, text_col, id_col).persist()
+    sh_c = dedup.word_shingles(corpus, n, text_col, id_col).persist()
     sig_b = dedup.minhash_signatures(
         survivors, n_hashes, n, text_col, id_col, shingles=sh_b
     )

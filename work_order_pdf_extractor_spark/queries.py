@@ -3005,7 +3005,9 @@ def q_ann_recall(spark, sf_dir):
 
     emb = ld(spark, sf_dir, "embeddings")
     qcos = emb.filter(F.col("vec_id") < ANN_RECALL_Q)
-    exact_cos = similarity.cosine_topk(emb, query_df=qcos, k=3).select(
+    # the fast twin is provably bit-identical to the JVM-fold baseline
+    # (same total order, tested) and ~10x cheaper on the 100-query set
+    exact_cos = similarity.cosine_topk_fast(emb, query_df=qcos, k=3).select(
         "qid", "nid"
     )
     banded = similarity.lsh_topk_banded(
