@@ -67,6 +67,8 @@ HEADLINE = [
     "incremental_ingest",
     "jpeg420_decode",
     "ann_recall",
+    "png_palette_decode",
+    "mulaw_decode",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

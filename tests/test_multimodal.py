@@ -432,3 +432,40 @@ def test_corrupt_payload_degrades_not_crashes(spark):
     assert feats.loc[2, "status"] == "decode_failed"
     assert pd.isna(feats.loc[2, "width"])
     assert feats.loc[2, "sha256"]  # checksum still recorded for triage
+
+
+def test_mulaw_closed_form_and_wav_roundtrip():
+    """decode(encode(s)) must equal the closed-form quantization the SQL
+    oracle uses (bias, threshold-ladder exponent, mantissa truncation +
+    half step) for every int16 value, and survive the RIFF container."""
+    def closed_form(s):
+        b = min(abs(s), 32635) + 132
+        e = next(i for i in range(8) if b < (1 << (i + 8)))
+        mag = ((b >> (e + 3)) << (e + 3)) + (1 << (e + 2)) - 132
+        return -mag if s < 0 else mag
+
+    for s in list(range(-300, 300)) + [-32768, -32635, -2048, 2047, 32635, 32767]:
+        assert M.mulaw_decode(M.mulaw_encode(s)) == closed_form(s), s
+    samples = [(37 * i + 77) % 4096 - 2048 for i in range(23)]
+    d = M.decode_audio(M.build_wav_mulaw(samples))
+    assert d["n_samples"] == 23
+    assert d["sum_abs"] == sum(abs(closed_form(s)) for s in samples)
+    assert d["peak"] == max(abs(closed_form(s)) for s in samples)
+
+
+def test_png_palette_roundtrip_and_bounds():
+    did = 9
+    w, h = M._doc_image_dims(did)
+    pal = M._doc_palette(did)
+    p = M.build_png_palette(w, h, pal, lambda x, y: (x + 2 * y + did) % 16)
+    W, H, lumas = M._decode_png(p)
+    assert (W, H) == (w, h)
+    assert lumas == [
+        M._luma(*pal[(x + 2 * y + did) % 16])
+        for y in range(h)
+        for x in range(w)
+    ]
+    # an index past the palette is corrupt data, not a crash elsewhere
+    bad = M.build_png_palette(2, 2, pal[:2], lambda x, y: 3)
+    with pytest.raises(ValueError):
+        M._decode_png(bad)

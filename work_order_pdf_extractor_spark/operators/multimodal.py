@@ -140,12 +140,76 @@ def build_png(width: int, height: int, pixel_fn) -> bytes:
     )
 
 
+def build_png_palette(
+    width: int, height: int, palette: list[tuple[int, int, int]], index_fn
+) -> bytes:
+    """Serialize a non-interlaced 8-bit PALETTED (color type 3) PNG:
+    a PLTE chunk of RGB entries plus one index byte per pixel in the
+    zlib-compressed IDAT — the common crawled-web PNG shape for logos,
+    icons and screenshots."""
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 per scanline
+        for x in range(width):
+            raw.append(index_fn(x, y))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def build_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Serialize PCM16 mono RIFF/WAVE."""
     data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_MULAW_BIAS = 0x84  # 132, the G.711 bias
+
+
+def mulaw_encode(s: int) -> int:
+    """Linear int16 → one G.711 μ-law byte (CCITT encode: bias, find the
+    exponent segment, keep a 4-bit mantissa, complement)."""
+    sign = 0x80 if s < 0 else 0
+    mag = min(abs(s), 32635) + _MULAW_BIAS
+    exp = 7
+    for e in range(8):
+        if mag < (1 << (e + 8)):
+            exp = e
+            break
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def mulaw_decode(u: int) -> int:
+    """One μ-law byte → linear (the audioop-compatible ±32124 scale)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return -mag if sign else mag
+
+
+def build_wav_mulaw(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Serialize G.711 μ-law mono RIFF/WAVE (format tag 7, 8 bits per
+    sample) from LINEAR int16 samples — the telephony/call-corpus codec;
+    the encoder quantizes, so decode(encode(s)) is the deterministic
+    companded value, not s."""
+    data = bytes(mulaw_encode(s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -213,13 +277,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
-    """Non-interlaced 8-bit RGB PNG: walk chunks, inflate IDAT, reconstruct
-    all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
-    — a real decoder for any conforming RGB8 image, not only the builder's
-    filter-0 output."""
+    """Non-interlaced 8-bit RGB (color type 2) or PALETTED (color type 3)
+    PNG: walk chunks, inflate IDAT, reconstruct all five scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec — the filter byte offset
+    is the pixel width (3 for RGB, 1 for indices) — then map indices
+    through the PLTE table for type 3. A real decoder for any conforming
+    image of these types, not only the builders' filter-0 output."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("bad PNG signature")
     pos, width, height, idat = 8, None, None, bytearray()
+    color_type, plte = None, None
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -228,10 +295,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             width, height, bit_depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8 or color_type != 2 or interlace != 0:
+            if bit_depth != 8 or color_type not in (2, 3) or interlace != 0:
                 raise NotImplementedError(
-                    "only non-interlaced 8-bit RGB PNG is supported"
+                    "only non-interlaced 8-bit RGB/paletted PNG is supported"
                 )
+        elif ctype == b"PLTE":
+            if len(data) % 3 or len(data) > 256 * 3:
+                raise ValueError("bad PLTE length")
+            plte = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, len(data), 3)
+            ]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -239,8 +313,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG without PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = width * 3
+    bpp = 3 if color_type == 2 else 1
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("bad raster length")
     lumas = [0] * (width * height)
@@ -249,26 +326,33 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         if ftype == 1:  # Sub
-            for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - 3] if i >= 3 else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = line[i - 3] if i >= 3 else 0
-                ul = prev[i - 3] if i >= 3 else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter {ftype}")
-        for x in range(width):
-            lumas[y * width + x] = _luma(
-                line[3 * x], line[3 * x + 1], line[3 * x + 2]
-            )
+        if color_type == 2:
+            for x in range(width):
+                lumas[y * width + x] = _luma(
+                    line[3 * x], line[3 * x + 1], line[3 * x + 2]
+                )
+        else:
+            for x in range(width):
+                idx = line[x]
+                if idx >= len(plte):
+                    raise ValueError("palette index out of range")
+                lumas[y * width + x] = _luma(*plte[idx])
         prev = line
     return width, height, lumas
 
@@ -339,9 +423,13 @@ def decode_audio(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV is supported")
-    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1])
+    if audio_format == 1 and bits == 16:
+        samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1])
+    elif audio_format == 7 and bits == 8:
+        # G.711 μ-law: one companded byte per sample, expanded to linear
+        samples = tuple(mulaw_decode(b) for b in data)
+    else:
+        raise NotImplementedError("only PCM16 or G.711 mu-law WAV is supported")
     return {
         "sha256": hashlib.sha256(payload).hexdigest(),
         "channels": channels,
@@ -545,6 +633,56 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+PNG_PALETTE_N = 16
+
+
+def _doc_palette(did: int) -> list[tuple[int, int, int]]:
+    """Deterministic per-document 16-entry palette (mirrored by the SQL
+    oracle): entry i = ((7i+3+did) mod 256, (5i+11) mod 256,
+    (3i+29) mod 256)."""
+    return [
+        ((7 * i + 3 + did) % 256, (5 * i + 11) % 256, (3 * i + 29) % 256)
+        for i in range(PNG_PALETTE_N)
+    ]
+
+
+def media_png_palette_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic PALETTED (color type 3) PNG per
+    document — the icon/screenshot shape of crawled-web images: same
+    dims formula as the gray PNG fixture, a per-doc 16-entry PLTE, pixel
+    index (x, y) = (x + 2y + doc_id) mod 16. Still a genuinely
+    compressed payload: inflate + unfilter + palette lookup to read."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = _doc_image_dims(did)
+                pal = _doc_palette(did)
+                payloads.append(
+                    build_png_palette(
+                        w, h, pal,
+                        lambda x, y, d=did: (x + 2 * y + d) % PNG_PALETTE_N,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
 def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic baseline-sequential grayscale JPEG per
     document: dims ``(8·(1 + doc_id mod 4), 8·(1 + (doc_id//4) mod 3))``,
@@ -665,6 +803,39 @@ def media_jpeg420_from_documents(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/jpeg",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
+def media_mulaw_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic G.711 μ-law WAV per document — the
+    telephony/call-recording codec: the SAME linear sample formula as the
+    PCM16 fixture (n = 16 + doc_id mod 50; s[i] = (37i + 11·doc_id) mod
+    4096 − 2048) passed through the real μ-law encoder, so the decoder's
+    companding expansion does genuine work and the oracle reproduces the
+    quantization in closed form."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 16 + did % 50
+                samples = [(37 * i + 11 * did) % 4096 - 2048 for i in range(n)]
+                payloads.append(build_wav_mulaw(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/basic",
                     "n_bytes": pd.array(
                         [len(p) for p in payloads], dtype="int32"
                     ),

@@ -2231,6 +2231,90 @@ FROM rgb GROUP BY 1, 2, 3
 """
 
 
+def q_png_palette_decode(spark, sf_dir):
+    """PALETTED (color type 3) PNG decode end-to-end — the icon/
+    screenshot shape of crawled-web images: per-doc 16-entry PLTE,
+    compressed index raster, decode = inflate + unfilter + palette
+    lookup. The oracle recomputes every pixel's palette entry and BT.601
+    luma analytically — integer-exact."""
+    from .operators import multimodal
+
+    media = multimodal.media_png_palette_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_PNG_PALETTE_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+         CAST(4 + (doc_id // 13) % 11 AS INTEGER) AS height
+  FROM documents),
+px AS (
+  SELECT media_id, width, height, (x + 2*y + media_id) % 16 AS i
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y)),
+lum AS (
+  SELECT media_id, width, height,
+         (299 * ((7*i + 3 + media_id) % 256)
+          + 587 * ((5*i + 11) % 256)
+          + 114 * ((3*i + 29) % 256)) // 1000 AS v
+  FROM px)
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_luma
+FROM lum GROUP BY 1, 2, 3
+"""
+
+
+def q_mulaw_decode(spark, sf_dir):
+    """G.711 μ-law WAV decode end-to-end — the telephony/call-recording
+    codec: linear fixture samples companded by the real μ-law encoder,
+    expanded back by the decoder; the oracle reproduces the quantization
+    in CLOSED FORM (bias, exponent segment by threshold ladder, mantissa
+    truncation + half-step) so features are integer-exact."""
+    from .operators import multimodal
+
+    media = multimodal.media_mulaw_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return multimodal.audio_features(media).select(
+        "media_id", "channels", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
+SQL_MULAW_DECODE = """
+WITH n AS (
+  SELECT doc_id AS media_id, CAST(16 + doc_id % 50 AS INTEGER) AS n_samples
+  FROM documents),
+s AS (
+  SELECT media_id, n_samples, (37*i + 11*media_id) % 4096 - 2048 AS sv
+  FROM n, LATERAL (SELECT unnest(generate_series(0, n_samples - 1)) AS i)),
+enc AS (
+  SELECT media_id, n_samples, sv, LEAST(ABS(sv), 32635) + 132 AS b FROM s),
+ex AS (
+  SELECT media_id, n_samples, sv, b,
+         CASE WHEN b < 256 THEN 0 WHEN b < 512 THEN 1 WHEN b < 1024 THEN 2
+              WHEN b < 2048 THEN 3 WHEN b < 4096 THEN 4 WHEN b < 8192 THEN 5
+              WHEN b < 16384 THEN 6 ELSE 7 END AS e
+  FROM enc),
+dec AS (
+  SELECT media_id, n_samples,
+         (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+         * (((b >> (e + 3)) << (e + 3)) + (1 << (e + 2)) - 132) AS v
+  FROM ex)
+SELECT media_id, CAST(1 AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate, n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM dec GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """REAL audio decode end-to-end: a deterministic PCM16 WAV per document
     (n = 16 + doc_id mod 50 samples; sample[i] = (37i + 11·doc_id) mod 4096
@@ -3282,6 +3366,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # pending query MUST sit in this first block; tests/test_attestation
     # enforces it against the committed ATTESTATION.json.
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
+    "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
