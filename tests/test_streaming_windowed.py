@@ -69,3 +69,65 @@ def test_watermark_emits_once_and_drops_post_eviction(spark, arrivals, tmp_path)
     assert int(first.n_turns.iloc[0]) == 3
     # open windows (00:30, 00:40) are not emitted
     assert set(res.ws) == {"00:00"}, res.to_string()
+
+
+@pytest.fixture()
+def dup_arrivals(tmp_path):
+    """Batches exercising the dropDuplicatesWithinWatermark contract:
+
+    - b0: (c0, 0) at 00:01 plus (c1, 0) at 00:02 — both first arrivals
+    - b1: duplicate (c0, 0) re-sent at 00:03 — state alive → dropped
+    - b2: (c2, 0) at 01:30 — the watermark (one-batch lag) becomes
+          01:20 for b3
+    - b3: (c3, 0) at 01:35 — a batch executed UNDER the 01:20 watermark,
+          so (c0, 0)'s state (expiry 00:01 + 10 min = 00:11) is evicted
+    - b4: duplicate (c0, 0) again at 01:40 — state evicted → RE-EMITTED
+          (dedup is guaranteed within the watermark only)
+    """
+    d = tmp_path / "dupin"
+    d.mkdir()
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": "user",
+                "text": "hello",
+                "tool": "",
+                "ts": pd.to_datetime([r[2] for r in rows]).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    batches = [
+        batch([("c0", 0, "2026-01-01 00:01:00"), ("c1", 0, "2026-01-01 00:02:00")]),
+        batch([("c0", 0, "2026-01-01 00:03:00")]),
+        batch([("c2", 0, "2026-01-01 01:30:00")]),
+        batch([("c3", 0, "2026-01-01 01:35:00")]),
+        batch([("c0", 0, "2026-01-01 01:40:00")]),
+    ]
+    for i, b in enumerate(batches):
+        p = str(d / f"arrival-{i}.parquet")
+        b.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def test_stream_dedup_within_watermark(spark, dup_arrivals, tmp_path):
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    windowed.run_stream_dedup(
+        spark, dup_arrivals, out, ckpt,
+        late_threshold="10 minutes", max_files_per_batch=1,
+    )
+    res = spark.read.parquet(out).toPandas()
+    counts = (
+        res.groupby(["conv_id", "turn_idx"]).size().to_dict()
+    )
+    # in-watermark duplicate dropped; post-eviction duplicate re-emitted
+    assert counts[("c0", 0)] == 2, res.to_string()
+    assert counts[("c1", 0)] == 1
+    assert counts[("c2", 0)] == 1
+    assert counts[("c3", 0)] == 1
+    assert len(res) == 5

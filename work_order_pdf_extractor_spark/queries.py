@@ -1556,6 +1556,53 @@ SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+def q_cluster_sample(spark, sf_dir):
+    """One-per-cluster sampling with cluster-size weights — what a
+    training pipeline DOES with the component assignment: keep exactly
+    the min-id document of every near-dup cluster and carry the cluster
+    size as a feature (dedup weight / quality signal). Composes the
+    LSH-candidates → Jaccard-verify → star connected-components chain
+    into one lazy plan; the oracle replays it over a recursive-CTE
+    transitive closure."""
+    from .operators import dedup
+
+    docs = ld(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, 3).persist()
+    cand = dedup.minhash_lsh_pairs(docs, N_MINHASH, LSH_BANDS, 3, shingles=sh)
+    verified = dedup.ngram_jaccard_pairs(
+        docs, 3, 0.6, candidates=cand, shingles=sh
+    )
+    comp = dedup.connected_components(
+        docs.select("doc_id"), verified.select("doc1", "doc2")
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.join(
+        docs, sizes["component_id"] == docs["doc_id"]
+    ).select(
+        F.col("component_id").alias("doc_id"), "cluster_size", "lang"
+    )
+
+
+SQL_CLUSTER_SAMPLE = f"""
+WITH RECURSIVE {_SQL_VERIFIED_CTES},
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM verified
+  UNION ALL SELECT doc2, doc1 FROM verified),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT c.component_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MIN(d.lang) AS lang
+FROM comp c JOIN documents d ON d.doc_id = c.component_id
+GROUP BY 1
+"""
+
+
 CORPUS_SAMPLE_FRACTION = 0.5
 
 
@@ -3366,6 +3413,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # pending query MUST sit in this first block; tests/test_attestation
     # enforces it against the committed ATTESTATION.json.
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),

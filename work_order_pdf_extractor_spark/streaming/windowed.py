@@ -71,3 +71,49 @@ def run_windowed(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple = ("conv_id", "turn_idx"),
+    late_threshold: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    emits the first arrival of each key immediately and drops re-arrivals
+    while the key's state lives; the watermark evicts state for keys older
+    than ``late_threshold``, so memory is O(keys per watermark window) on
+    an unbounded stream — the streaming twin of the batch Bloom/exact
+    ingest dedup (a plain `dropDuplicates` on a stream would grow state
+    forever, the 100 TB-stream failure mode). The contract is dedup
+    GUARANTEED within the watermark only: a duplicate arriving after its
+    key was evicted is re-emitted, which the test asserts explicitly."""
+    return stream.withWatermark("ts", late_threshold).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    late_threshold: str = "10 minutes",
+    max_files_per_batch: int | None = None,
+):
+    """availableNow run of the watermarked stream dedup over parquet
+    arrivals (append sink; same harness shape as :func:`run_windowed`)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA).format("parquet")
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    stream = reader.load(input_dir)
+    out = dedup_within_watermark(stream, late_threshold=late_threshold)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
