@@ -37,8 +37,10 @@ def test_committed_manifest_is_fresh(manifest):
 
 
 def test_no_pending_query_outside_window(manifest):
-    """The rotation policy, enforced: anything changed/new/stale must sit
-    in the first 50 registry slots so the next driver round attests it."""
+    """The rotation policy, enforced: no window slot may be wasted — an
+    attested query must never occupy one of the first 50 registry slots
+    while a pending query waits outside. (When pending > 50 the overflow
+    is unavoidable and reported as pending_overflow instead.)"""
     assert manifest["pending_outside_window"] == [], manifest["pending"]
 
 

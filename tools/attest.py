@@ -291,7 +291,15 @@ def build_manifest() -> dict:
         }
     pending = [q for q, v in queries.items() if v["status"] == "pending"]
     order = list(cur)  # registry order == driver window order
-    pending_outside_window = [q for q in pending if order.index(q) >= WINDOW]
+    pending_outside = [q for q in pending if order.index(q) >= WINDOW]
+    attested_inside = [
+        q for q in order[:WINDOW] if queries[q]["status"] == "attested"
+    ]
+    # the enforceable invariant: no window slot may be WASTED — an
+    # attested query sitting inside while a pending one waits outside.
+    # When pending > WINDOW the overflow is unavoidable (it becomes the
+    # next round's head) and is reported, not flagged.
+    violations = pending_outside if attested_inside else []
     return {
         "scheme": (
             "fingerprint = sha256(query fn source + oracle SQL source + "
@@ -303,7 +311,8 @@ def build_manifest() -> dict:
         "n_queries": len(queries),
         "n_attested": len(queries) - len(pending),
         "pending": pending,
-        "pending_outside_window": pending_outside_window,
+        "pending_overflow": pending_outside,
+        "pending_outside_window": violations,
         "queries": queries,
     }
 

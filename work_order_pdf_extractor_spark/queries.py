@@ -1556,6 +1556,186 @@ SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+GROUP_SAMPLE_K = 20
+
+
+def q_group_sample_k(spark, sf_dir):
+    """Exactly-k-per-group sampling (the 'k examples per domain' op,
+    complementing fraction-based stratified_sample): rank each group's
+    docs by a deterministic md5 hash (uniform, reproducible across
+    engines/partitionings/reruns) and keep rank ≤ k. One shuffle on the
+    group key; at scale the rank window is the same single-shuffle shape
+    as first_per_user."""
+    from .operators.common import stable_hash64
+
+    docs = ld(spark, sf_dir, "documents")
+    h = stable_hash64(F.concat_ws("#", F.col("lang"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_GROUP_SAMPLE_K = f"""
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(CONCAT('0x', substr(md5(lang || '#' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+         ) AS rk
+  FROM documents)
+WHERE rk <= {GROUP_SAMPLE_K}
+"""
+
+
+INVIDX_MIN_DF = 3
+INVIDX_POSTINGS = 5
+
+
+def q_inverted_index(spark, sf_dir):
+    """Search-index build: term → document frequency + the first
+    ``INVIDX_POSTINGS`` postings (ascending doc ids, rendered as a
+    stable string so the cross-engine hash compare is exact). The
+    posting lists aggregate per term with map-side combine on 64-bit
+    term keys at scale; terms below ``INVIDX_MIN_DF`` are dropped (the
+    long-tail cut every index build makes)."""
+    docs = ld(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per = terms.distinct()
+    agg = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, INVIDX_POSTINGS
+            ),
+        ).alias("postings"),
+    )
+    return agg.filter(F.col("df") >= INVIDX_MIN_DF).select(
+        "term", "df", "postings"
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, w AS term FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+agg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(
+           (list_sort(list(doc_id)))[1:{INVIDX_POSTINGS}], ',') AS postings
+  FROM terms GROUP BY term)
+SELECT term, df, postings FROM agg WHERE df >= {INVIDX_MIN_DF}
+"""
+
+
+DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark, sf_dir):
+    """Data selection by hashed n-gram importance (the DSIR shape, Xie
+    et al. 2023): word uni+bigrams hashed into 1024 buckets; a doc's
+    affinity to the TARGET slice (lang='en') vs the RAW corpus is the
+    feature-count-weighted difference of the two bucket distributions.
+    Same substitution the repo's tfidf makes (linear idf for log idf):
+    the paper's Σ n_b·(log p̂_t[b] − log p̂_r[b]) becomes the integer-
+    exact first-order twin Σ n_b·(cnt_t[b]·R − cnt_r[b]·T) (T, R the
+    slice totals) — identical ranking intent, zero transcendental-ULP
+    risk, so the score is oracle-exact to the last bit. Plan shape: the
+    two bucket-count tables are ≤1024 rows (map-side-combined), the
+    per-doc pass joins them BROADCAST — at 100 TB the corpus is read
+    twice (target pass prunes by the slice predicate), nothing wide
+    ever shuffles."""
+    from .operators.common import stable_hash64
+
+    docs = ld(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    bigr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigr)).alias("g")
+    ).withColumn("b", stable_hash64(F.col("g")) % DSIR_BUCKETS).drop("g")
+
+    per_doc = grams.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cnt_r = grams.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    cnt_t = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    stats = (
+        cnt_r.join(cnt_t, "b", "left")
+        .withColumn("cnt_t", F.coalesce("cnt_t", F.lit(0)))
+        .crossJoin(
+            F.broadcast(
+                cnt_r.agg(F.sum("cnt_r").alias("R")).crossJoin(
+                    cnt_t.agg(F.sum("cnt_t").alias("T"))
+                )
+            )
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("n_b")
+                * (F.col("cnt_t") * F.col("R") - F.col("cnt_r") * F.col("T"))
+            )
+            .cast("long")
+            .alias("affinity")
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, g FROM (
+    SELECT doc_id, lang, unnest(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, lang, unnest(
+      CASE WHEN len(t) >= 2 THEN
+        list_transform(generate_series(1, CAST(len(t) - 1 AS BIGINT)),
+                       i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])
+      ELSE [] END) AS g
+    FROM toks)),
+bucketed AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM grams),
+per_doc AS (SELECT doc_id, b, COUNT(*) AS n_b FROM bucketed GROUP BY 1, 2),
+cnt_r AS (SELECT b, COUNT(*) AS cnt_r FROM bucketed GROUP BY 1),
+cnt_t AS (SELECT b, COUNT(*) AS cnt_t FROM bucketed WHERE lang = 'en' GROUP BY 1),
+stats AS (
+  SELECT r.b, r.cnt_r, COALESCE(t.cnt_t, 0) AS cnt_t,
+         (SELECT SUM(cnt_r) FROM cnt_r) AS R,
+         (SELECT SUM(cnt_t) FROM cnt_t) AS T
+  FROM cnt_r r LEFT JOIN cnt_t t ON r.b = t.b)
+SELECT d.doc_id,
+       CAST(SUM(d.n_b * (s.cnt_t * s.R - s.cnt_r * s.T)) AS BIGINT) AS affinity
+FROM per_doc d JOIN stats s ON d.b = s.b
+GROUP BY 1
+"""
+
+
 def q_cluster_sample(spark, sf_dir):
     """One-per-cluster sampling with cluster-size weights — what a
     training pipeline DOES with the component assignment: keep exactly
@@ -3414,6 +3594,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # enforces it against the committed ATTESTATION.json.
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
