@@ -227,3 +227,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_dsir_stats_join_is_broadcast(spark):
+    """dsir_weights joins every per-doc gram-bucket row against the
+    <=1024-row bucket-stats table — that join must be a BroadcastHashJoin
+    (a shuffled join there would move the whole gram table on a key with
+    only 1024 distinct values: guaranteed skew)."""
+    df = Q.REGISTRY["dsir_weights"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -1556,6 +1556,139 @@ SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics as a batch plan (the warehouse upsert sink
+    the reference's destructive config/rename writes approximate): a
+    deterministic change batch (every 7th order re-priced, every 11th a
+    brand-new key) merged into orders — matched keys take the source
+    row, unmatched keep the target, source-only keys insert. One full
+    outer join on the key; at scale both sides bucket on o_orderkey and
+    the join is co-located (plans/bucketing.py), never a fabric-wide
+    shuffle per merge."""
+    orders = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    t = orders.alias("t")
+    s = src.alias("s")
+    merged = t.join(s, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias(
+            "o_custkey"
+        ),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(
+            F.col("s.o_custkey").isNotNull()
+            & F.col("t.o_custkey").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("s.o_custkey").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # decimal-exact sum, rendered as DOUBLE on both sides (the repo's
+        # standard cross-engine money-sum contract, see cost_sums)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0),
+merged AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         CASE WHEN s.o_custkey IS NOT NULL AND t.o_custkey IS NOT NULL
+                THEN 'updated'
+              WHEN s.o_custkey IS NOT NULL THEN 'inserted'
+              ELSE 'kept' END AS merge_action
+  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+SELECT merge_action, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 from an event log: each
+    customer's order events (ts, price) become versioned history rows
+    with ``valid_from`` / ``valid_to`` (next event's ts, NULL while
+    current) and a version number — the lag/lead windowing shape every
+    warehouse dimension build runs. Aggregated to per-customer version
+    counts + current-row stats so the result is compact and hash-stable."""
+    orders = ld(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    hist = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        "o_totalprice",
+    )
+    return hist.groupBy("o_custkey").agg(
+        F.max("version").cast("int").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.max(
+            F.when(
+                F.col("valid_to").isNull(),
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("current_price"),
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH hist AS (
+  SELECT o_custkey,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS version,
+         o_totalprice
+  FROM orders)
+SELECT o_custkey,
+       CAST(MAX(version) AS INTEGER) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(MAX(CASE WHEN valid_to IS NULL
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS current_price
+FROM hist GROUP BY 1
+"""
+
+
 GROUP_SAMPLE_K = 20
 
 
@@ -3597,6 +3730,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
