@@ -2854,6 +2854,107 @@ SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_jsonl_gz_source(spark, sf_dir):
+    """Compressed-JSONL connector proof: crawled corpora ship as
+    .jsonl.gz; the documents table is round-tripped through
+    GZIP-compressed line-delimited JSON (Spark codec writer → schema'd
+    reader) and must match the parquet original byte-for-byte. Note the
+    100-TB caveat this query documents by existing: gzip is NOT
+    splittable — one .gz file = one task — so the writer shards first
+    (coalesce(4) here; thousands of shards in production) and the reader
+    parallelizes across files, never within one."""
+    from .sources.transcripts import read_jsonl
+
+    out = _roundtrip_dir(spark, sf_dir, "jsonlgz")
+    (
+        ld(spark, sf_dir, "documents")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    back = read_jsonl(
+        spark, out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_JSONL_GZ_SOURCE = """
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Key-skew profiler — the operational query behind every salting
+    decision in this engine (extraction whales, LSH hot buckets): per-key
+    row counts for a join/group key, reduced to the skew indicators that
+    matter (max/p99/median key size, the skew ratio max/median, and the
+    share of rows owned by the top-1 key). One map-side-combined count
+    per key; the profile is what production persists as table metadata
+    (the whale census `run_pipeline` consumes)."""
+    li = ld(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key"),
+        F.expr("percentile(n, 0.99)").cast("double").alias("p99_key"),
+        F.expr("percentile(n, 0.5)").cast("double").alias("median_key"),
+        (F.max("n") / F.expr("percentile(n, 0.5)")).alias("skew_ratio"),
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key,
+       CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_key,
+       CAST(quantile_cont(n, 0.5) AS DOUBLE) AS median_key,
+       MAX(n) / quantile_cont(n, 0.5) AS skew_ratio
+FROM counts
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Token-length histogram in power-of-two buckets — what a training
+    pipeline inspects before choosing pack_chunks' sequence length:
+    bucket = floor(log2(token_count)) via integer bit-length (no float
+    log), with doc counts and total tokens per bucket."""
+    docs = ld(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    b = F.when(ntok <= 0, F.lit(-1)).otherwise(
+        (F.length(F.conv(ntok.cast("string"), 10, 2)) - 1).cast("int")
+    )
+    return (
+        docs.select(ntok.alias("ntok"), b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_LENGTH_BUCKETS = """
+WITH t AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+  FROM documents),
+b AS (
+  SELECT ntok,
+         CASE WHEN ntok <= 0 THEN -1
+              ELSE CAST(length(bin(ntok)) - 1 AS INTEGER) END AS bucket
+  FROM t)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
 def q_csv_source(spark, sf_dir):
     """CSV connector proof (the reference's own ingest format,
     work_order_extractor.py:976-996): events round-tripped through CSV with
@@ -3732,6 +3833,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
