@@ -469,3 +469,34 @@ def test_png_palette_roundtrip_and_bounds():
     bad = M.build_png_palette(2, 2, pal[:2], lambda x, y: 3)
     with pytest.raises(ValueError):
         M._decode_png(bad)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn restart intervals (the error-resilience structure most
+    camera/web JPEGs carry): decode must byte-align at each marker,
+    check its modulo-8 sequence number, and reset DC predictors —
+    producing output identical to the unrestarted stream; a wrong
+    sequence number is corrupt data (ValueError)."""
+    import random
+
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    rng = random.Random(5)
+    for (w, h, ri) in [(32, 24, 1), (19, 13, 2), (40, 8, 5), (16, 16, 100)]:
+        img = [rng.randrange(256) for _ in range(w * h)]
+        assert J.decode_baseline_gray(
+            J.encode_baseline_gray(w, h, img, restart_interval=ri)
+        ) == J.decode_baseline_gray(J.encode_baseline_gray(w, h, img)), (w, h, ri)
+    w, h = 24, 16
+    y = [rng.randrange(256) for _ in range(w * h)]
+    cb = [rng.randrange(256) for _ in range(w * h)]
+    cr = [rng.randrange(256) for _ in range(w * h)]
+    p_ri = J.encode_baseline_ycbcr(w, h, y, cb, cr, restart_interval=2)
+    assert J.decode_baseline(p_ri) == J.decode_baseline(
+        J.encode_baseline_ycbcr(w, h, y, cb, cr)
+    )
+    bad = bytearray(p_ri)
+    idx = bytes(bad).find(b"\xff\xd0")
+    bad[idx + 1] = 0xD4
+    with pytest.raises(ValueError):
+        J.decode_baseline(bytes(bad))

@@ -133,6 +133,12 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (T.81 F.1.2.3: the marker itself is
+        never byte-stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
@@ -146,12 +152,28 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn: needs DC-predictor resets
-                raise NotImplementedError("restart markers unsupported")
+            elif 0xD0 <= nxt <= 0xD7:
+                # RSTn must be consumed by expect_restart between MCUs,
+                # never mid-entropy-data
+                raise ValueError("unexpected restart marker inside MCU")
             else:
                 raise ValueError(f"marker 0xFF{nxt:02X} inside scan")
         self._acc = (self._acc << 8) | b
         self._n += 8
+
+    def expect_restart(self, n: int) -> None:
+        """Discard pad bits to the byte boundary and consume the RSTn
+        marker, which must carry the expected modulo-8 sequence number
+        (T.81 E.1.4 — the number is how a decoder detects lost chunks)."""
+        self._acc, self._n = 0, 0  # drop the 1-fill pad bits
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (
+            n & 7
+        ):
+            raise ValueError(
+                f"expected RST{n & 7} at byte {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
     def read_bit(self) -> int:
         if self._n == 0:
@@ -275,13 +297,20 @@ _JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
 
 def encode_baseline_gray(
-    width: int, height: int, samples: list[int], quant: list[int] | None = None
+    width: int,
+    height: int,
+    samples: list[int],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale ``samples`` (row-major, len == width*height)
     as a baseline-sequential JFIF: real FDCT, quantization (row-major
     ``quant``, default :data:`FLAT_QUANT`), zigzag, Annex-K Huffman with
     DC prediction, run-length AC with EOB/ZRL, and byte stuffing. Edge
-    blocks are replicate-padded (the decoder crops)."""
+    blocks are replicate-padded (the decoder crops). ``restart_interval``
+    > 0 emits a DRI segment and an RSTn marker (byte-aligned, DC
+    predictors reset) every that-many MCUs — the error-resilience
+    structure most camera/web JPEGs carry."""
     q = list(quant or FLAT_QUANT)
     padded = _pad_plane(samples, width, height)
     qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
@@ -289,12 +318,18 @@ def encode_baseline_gray(
     ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     w = _BitWriter()
     prev_dc = 0
+    mcu = rst = 0
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = 0
             prev_dc = _write_block(
                 w, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                 qmat, dc_codes, ac_codes, prev_dc,
             )
+            mcu += 1
     w.flush()
     dht = (
         bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
@@ -309,6 +344,11 @@ def encode_baseline_gray(
             struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
         )
         + _seg(0xC4, dht)  # DHT: DC table 0 + AC table 0
+        + (
+            _seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
         + bytes(w.out)
         + b"\xff\xd9"  # EOI
@@ -323,6 +363,7 @@ def encode_baseline_ycbcr(
     cr: list[int],
     luma_quant: list[int] | None = None,
     chroma_quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode three full-resolution planes as a baseline-sequential COLOR
     JFIF (YCbCr, 4:4:4): interleaved MCUs of one Y + one Cb + one Cr
@@ -358,13 +399,19 @@ def encode_baseline_ycbcr(
     ]
     w = _BitWriter()
     preds = [0, 0, 0]
+    mcu = rst = 0
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
             for ci, (plane, qmat, (dcc, acc)) in enumerate(comps):
                 preds[ci] = _write_block(
                     w, plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                     qmat, dcc, acc, preds[ci],
                 )
+            mcu += 1
     w.flush()
     dht = (
         bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
@@ -383,6 +430,11 @@ def encode_baseline_ycbcr(
                + bytes([0x01]) + _zz_bytes(cq))
         + _seg(0xC0, sof)
         + _seg(0xC4, dht)
+        + (
+            _seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         + _seg(0xDA, sos)
         + bytes(w.out)
         + b"\xff\xd9"
@@ -507,15 +559,15 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
     or YCbCr color with sampling factors up to 2×2 (4:4:4, 4:2:2 and
     4:2:0 interleaved MCUs; per-component quant/Huffman selectors and DC
     predictors; subsampled planes upsampled by sample replication) — to
-    RGB triples: marker walk (DQT/SOF0/DHT/SOS), canonical-Huffman
+    RGB triples: marker walk (DQT/SOF0/DHT/DRI/SOS), restart-interval RSTn resync, canonical-Huffman
     entropy decode, dequantize, inverse zigzag, float IDCT, JFIF
     YCbCr→RGB for color, level shift, clamp, crop. Outside the subset
-    (progressive SOF2, sampling factors > 2, 16-bit quant, restart
-    intervals) raises ``NotImplementedError``; corrupt streams raise
+    (progressive SOF2, sampling factors > 2, 16-bit quant) raises ``NotImplementedError``; corrupt streams raise
     ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
+    restart_interval = 0
     quants: dict[int, np.ndarray] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
@@ -559,6 +611,8 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
                 if ncomp == 1 and sampling != 0x11:
                     raise NotImplementedError("grayscale must be 1x1 sampled")
                 comp_specs.append((cid, tq, hi, vi))
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(data):
@@ -595,8 +649,14 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
     ]
     r = _BitReader(payload, pos)
     preds = [0] * len(comp_specs)
+    mcu = rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comp_specs)
+            mcu += 1
             for ci, (cid, tq, hi, vi) in enumerate(comp_specs):
                 dsel, asel = scan_sel[cid]
                 for v in range(vi):
