@@ -500,3 +500,23 @@ def test_jpeg_restart_markers_roundtrip():
     bad[idx + 1] = 0xD4
     with pytest.raises(ValueError):
         J.decode_baseline(bytes(bad))
+
+
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(_st.integers(min_value=-32768, max_value=32767))
+def test_mulaw_quantization_error_bound(s):
+    """G.711 property: the companding error is bounded by half the
+    segment step — |decode(encode(s)) − s| ≤ 2^(e+2) with e the segment
+    exponent of |s|+bias (plus the clamp region at full scale)."""
+    d = M.mulaw_decode(M.mulaw_encode(s))
+    mag = min(abs(s), 32635) + 132
+    e = next(i for i in range(8) if mag < (1 << (i + 8)))
+    bound = 1 << (e + 2)
+    clamp_loss = max(0, abs(s) - 32635)
+    assert abs(d - s) <= bound + clamp_loss, (s, d, e)
+    # sign is always preserved (−0 quantizes to 0)
+    assert d == 0 or (d > 0) == (s > 0)

@@ -2854,6 +2854,49 @@ SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed-table surface, driver-attested: orders and lineitem are
+    written as co-bucketed metastore tables (bucketBy 8 on the order
+    key) and joined WITHOUT any shuffle Exchange (the co-located join
+    plans/bucketing.py provides; exchange-freedom is plan-asserted in
+    tests/test_bucketing.py — this query attests the VALUES through the
+    same layout). Output: per-orderpriority revenue over the bucketed
+    join."""
+    from .plans import bucketing
+
+    db = "wob_bucketed"
+    tag = _roundtrip_dir(spark, sf_dir, "buckdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tag}'")
+    orders = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    bucketing.write_bucketed(orders, f"{db}.b_orders", "o_orderkey", 8)
+    bucketing.write_bucketed(li, f"{db}.b_lineitem", "l_orderkey", 8)
+    j = bucketing.read_bucketed(spark, f"{db}.b_orders").join(
+        bucketing.read_bucketed(spark, f"{db}.b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def q_jsonl_gz_source(spark, sf_dir):
     """Compressed-JSONL connector proof: crawled corpora ship as
     .jsonl.gz; the documents table is round-tripped through
@@ -3834,6 +3877,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
