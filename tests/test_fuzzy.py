@@ -140,3 +140,12 @@ def test_depth_guard_and_empty_key(spark):
     # "" is distance 1 from "a" (via the deletion variant of "a")
     assert out[0]["matched_key"] == "a" and out[0]["dist"] == 1
     assert out[1]["dist"] == 0
+
+
+def test_empty_probe_and_empty_ref(spark, ref_keys):
+    ref_df = spark.createDataFrame([(k,) for k in ref_keys], "rkey string")
+    empty_p = spark.createDataFrame([], "pid long, key string")
+    assert fuzzy.fuzzy_semi_join(empty_p, ref_df, "key", "rkey", "pid").count() == 0
+    probe_df = spark.createDataFrame([(1, ref_keys[0])], "pid long, key string")
+    empty_r = spark.createDataFrame([], "rkey string")
+    assert fuzzy.fuzzy_semi_join(probe_df, empty_r, "key", "rkey", "pid").count() == 0

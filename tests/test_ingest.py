@@ -116,3 +116,17 @@ def test_checkpoint_resume_after_crash(spark, corpus, batch, tmp_path):
     df = spark.read.parquet(dd).toPandas()
     assert len(df) == 15
     assert set(df[df.disposition == "exact_dup"].doc_id) == set(range(100, 105))
+
+
+def test_empty_batch_is_a_noop(spark, corpus):
+    empty = corpus.filter("doc_id < 0")
+    out = ingest.incremental_ingest(corpus, empty).collect()
+    assert out == []
+
+
+def test_empty_corpus_marks_everything_new(spark, corpus, batch):
+    empty = corpus.filter("doc_id < 0")
+    rows = ingest.incremental_ingest(empty, batch).collect()
+    assert len(rows) == 15
+    assert all(r.disposition == "new" for r in rows)
+    assert all(not r.bloom_maybe for r in rows)
