@@ -189,6 +189,54 @@ def l2_topk(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    n_centroids: int,
+    threshold: float,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup, the SemDeDup shape (Abbas et al. 2023): cluster
+    the embedding space (IVF coarse quantization — trained centroids,
+    same train-once model as the ANN path), then WITHIN each cluster
+    drop every vector whose cosine to a smaller-id member is ≥
+    ``threshold`` (the greedy min-id-keeper rule shared with the text
+    near-dup materializer). Output: kept ``(id, centroid_id)`` rows.
+
+    Scale shape: the pairwise check runs within clusters only — K ∝ √N
+    keeps cells ~√N so total work is ~N^1.5 of narrow rows, never the
+    corpus-wide N² — and the comparison happens on ids + vectors already
+    co-partitioned by the assignment join. At the billions-of-embeddings
+    scale one subdivides clusters recursively; the within-cell machinery
+    is identical."""
+    assign = ivf_assign(
+        df, n_centroids, id_col=id_col, vec_col=vec_col, centroids=centroids
+    ).select(id_col, "centroid_id")
+    withv = assign.join(df.select(id_col, vec_col), id_col)
+    a = withv.select(
+        F.col(id_col).alias("aid"),
+        F.col("centroid_id").alias("ac"),
+        F.col(vec_col).alias("av"),
+    )
+    b = withv.select(
+        F.col(id_col).alias("bid"),
+        F.col("centroid_id").alias("bc"),
+        F.col(vec_col).alias("bv"),
+    )
+    sim = F.round(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
+    dropped = (
+        a.join(b, (F.col("ac") == F.col("bc")) & (F.col("aid") < F.col("bid")))
+        .select("bid", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    return assign.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )
+
+
 def _plane_projection(vec_col: str, j: int) -> F.Column:
     """Projection of a vector onto deterministic integer plane ``j``,
     computed per row with higher-order functions: ``transform`` (with the

@@ -3577,6 +3577,43 @@ WHERE rank <= 3
 """
 
 
+SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup (the SemDeDup shape, Abbas et al. 2023): IVF-
+    cluster the embedding space with the session-cached trained
+    centroids, then within each cluster drop every vector whose cosine
+    to a smaller-id member is ≥ τ — the embedding-space twin of the
+    text near-dup materializer's greedy keeper. Returns the kept
+    (vec_id, centroid_id) corpus; the oracle replays clustering (same
+    training CTEs as IVF) and the within-cell drop rule."""
+    from .operators import similarity
+
+    return similarity.semdedup(
+        ld(spark, sf_dir, "embeddings"), IVF_K, SEMDEDUP_TAU,
+        centroids=_trained_ivf_centroids(spark, sf_dir),
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH {_SQL_IVF_ASSIGN_CTE},
+withc AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS dropped FROM withc a JOIN withc b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        >= {SEMDEDUP_TAU}
+)
+SELECT vec_id, centroid_id FROM withc
+WHERE vec_id NOT IN (SELECT dropped FROM dropped)
+"""
+
+
 ANN_RECALL_Q = 100  # cosine-metric recall query set: vec_id < 100
 
 
@@ -3878,6 +3915,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
