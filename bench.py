@@ -69,6 +69,8 @@ HEADLINE = [
     "ann_recall",
     "png_palette_decode",
     "mulaw_decode",
+    "semdedup",
+    "key_skew_profile",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

@@ -210,27 +210,35 @@ def semdedup(
     co-partitioned by the assignment join. At the billions-of-embeddings
     scale one subdivides clusters recursively; the within-cell machinery
     is identical."""
+    import numpy as np
+    import pandas as _pd
+
     assign = ivf_assign(
         df, n_centroids, id_col=id_col, vec_col=vec_col, centroids=centroids
     ).select(id_col, "centroid_id")
     withv = assign.join(df.select(id_col, vec_col), id_col)
-    a = withv.select(
-        F.col(id_col).alias("aid"),
-        F.col("centroid_id").alias("ac"),
-        F.col(vec_col).alias("av"),
-    )
-    b = withv.select(
-        F.col(id_col).alias("bid"),
-        F.col("centroid_id").alias("bc"),
-        F.col(vec_col).alias("bv"),
-    )
-    sim = F.round(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
-    dropped = (
-        a.join(b, (F.col("ac") == F.col("bc")) & (F.col("aid") < F.col("bid")))
-        .select("bid", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("bid").alias(id_col))
-        .distinct()
+
+    # within-cell scoring is VECTORIZED (the repo rule: pairwise cosines
+    # never go through interpreted zip_with folds — that shape measured
+    # 4x slower at a mere 5k x 64): one numpy matmul per cell, round-4
+    # sims (bit-matched to the SQL oracle everywhere tested), a column
+    # is dropped iff any strictly-smaller-id row reaches the threshold
+    # (upper-triangle any). Cells are ~N/K rows; at billion-vector scale
+    # one subdivides cells (recursive IVF) before this stage, keeping
+    # the per-group matrix bounded.
+    def fn(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if len(ids) < 2:
+            return _pd.DataFrame({id_col: ids[:0]})
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
+        hit = np.triu(sims >= threshold, k=1)  # [i, j]: i < j and sim >= tau
+        return _pd.DataFrame({id_col: ids[hit.any(axis=0)]})
+
+    dropped = withv.groupBy("centroid_id").applyInPandas(
+        fn, schema=f"{id_col} long"
     )
     return assign.join(dropped, id_col, "left_anti").select(
         id_col, "centroid_id"
