@@ -130,3 +130,42 @@ def test_empty_corpus_marks_everything_new(spark, corpus, batch):
     assert len(rows) == 15
     assert all(r.disposition == "new" for r in rows)
     assert all(not r.bloom_maybe for r in rows)
+
+
+def test_stream_ingest_dispositions_and_replay(spark, corpus, batch, tmp_path):
+    """The streaming twin: batches arriving as files get the same
+    dispositions as the batch job, and re-running over the same input
+    (simulating a foreachBatch replay after a lost checkpoint) rewrites
+    identical partitions instead of duplicating rows."""
+    from work_order_pdf_extractor_spark.streaming import incremental as S
+
+    ind = tmp_path / "stream_in"
+    ind.mkdir()
+    pdf = batch.toPandas()
+    pdf.iloc[:7].to_parquet(str(ind / "b0.parquet"), index=False)
+    pdf.iloc[7:].to_parquet(str(ind / "b1.parquet"), index=False)
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    S.run_stream_ingest(
+        spark, corpus, str(ind), out, ckpt, max_files_per_batch=1
+    )
+    res = spark.read.parquet(out).toPandas()
+    assert len(res) == 15
+    batch_expect = {
+        r.doc_id: r.disposition
+        for r in __import__(
+            "work_order_pdf_extractor_spark.plans.ingest", fromlist=["ingest"]
+        ).incremental_ingest(corpus, batch).collect()
+    }
+    assert {r.doc_id: r.disposition for _, r in res.iterrows()} == batch_expect
+    assert res.batch_id.nunique() == 2
+
+    # replay: wipe the checkpoint, rerun over the same input — the
+    # dynamic-partition-overwrite sink must leave row counts unchanged
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    S.run_stream_ingest(
+        spark, corpus, str(ind), out, ckpt, max_files_per_batch=1
+    )
+    res2 = spark.read.parquet(out).toPandas()
+    assert len(res2) == 15

@@ -93,3 +93,50 @@ def run_incremental(
     )
     q.awaitTermination()
     return q
+
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def run_stream_ingest(
+    spark: SparkSession,
+    corpus: DataFrame,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_batch: int | None = None,
+):
+    """Streaming twin of ``plans.ingest.incremental_ingest``: document
+    batches arriving as parquet files are dispositioned against the
+    standing corpus per micro-batch (Bloom prefilter → exact verify for
+    maybes → near-dup check), with the same exactly-once sink discipline
+    as :func:`run_incremental` — each batch dynamically overwrites its
+    own ``batch_id`` partition, so a foreachBatch replay rewrites
+    identical rows instead of appending duplicates. This is the
+    continuous deployment shape of the nightly ingest job."""
+    from ..plans.ingest import incremental_ingest
+
+    reader = spark.readStream.schema(DOC_SCHEMA).format("parquet")
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    stream = reader.load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result = incremental_ingest(corpus, batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
