@@ -520,3 +520,24 @@ def test_mulaw_quantization_error_bound(s):
     assert abs(d - s) <= bound + clamp_loss, (s, d, e)
     # sign is always preserved (−0 quantizes to 0)
     assert d == 0 or (d > 0) == (s > 0)
+
+
+def test_jpeg422_matches_444_on_constant_chroma():
+    """4:2:2 (two Y blocks + half-width chroma per 16x8 MCU) decodes
+    identically to 4:4:4 on constant-chroma fixtures, including odd
+    dims — the decoder's general sampling-factor MCU walk covers the
+    2x1 layout with no special-casing."""
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    for (w, h) in [(16, 8), (20, 12), (18, 9)]:
+        y = [(32 + 8 * ((x // 16) + (yy // 16) * 3)) % 256
+             for yy in range(h) for x in range(w)]
+        cw = (w + 1) // 2
+        p422 = J.encode_baseline_ycbcr422(
+            w, h, y, [140] * (cw * h), [120] * (cw * h)
+        )
+        p444 = J.encode_baseline_ycbcr(
+            w, h, y, [140] * (w * h), [120] * (w * h)
+        )
+        assert J.decode_baseline(p422) == J.decode_baseline(p444), (w, h)
+        assert len(p422) < len(p444)

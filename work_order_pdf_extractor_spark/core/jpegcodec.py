@@ -531,6 +531,96 @@ def encode_baseline_ycbcr420(
     )
 
 
+def encode_baseline_ycbcr422(
+    width: int,
+    height: int,
+    y: list[int],
+    cb_halfw: list[int],
+    cr_halfw: list[int],
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+) -> bytes:
+    """Encode as baseline-sequential 4:2:2 COLOR JFIF — the broadcast/
+    video-derived variant: luma at 2×1 sampling, chroma at HALF WIDTH and
+    full height (``ceil(w/2) × h``, supplied already-downsampled). Each
+    MCU covers 16×8 pixels: two horizontal Y blocks + one Cb + one Cr."""
+    lq = list(luma_quant or FLAT_QUANT)
+    cq = list(chroma_quant or FLAT_QUANT)
+    cw = (width + 1) // 2
+    yplane = _pad_plane(y, width, height)
+    # luma must cover 16-wide MCUs
+    mcux, mcuy = (width + 15) // 16, (height + 7) // 8
+    yplane = np.pad(
+        yplane,
+        ((0, mcuy * 8 - yplane.shape[0]), (0, mcux * 16 - yplane.shape[1])),
+        mode="edge",
+    )
+    cbp = _pad_plane(cb_halfw, cw, height)
+    crp = _pad_plane(cr_halfw, cw, height)
+    cbp = np.pad(
+        cbp,
+        ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])),
+        mode="edge",
+    )
+    crp = np.pad(
+        crp,
+        ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])),
+        mode="edge",
+    )
+    qmats = [
+        np.asarray(lq, dtype=np.float64).reshape(8, 8),
+        np.asarray(cq, dtype=np.float64).reshape(8, 8),
+    ]
+    luma_codes = (
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+    )
+    chroma_codes = (
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for h in range(2):  # two Y blocks side by side
+                r0, c0 = my * 8, mx * 16 + h * 8
+                preds[0] = _write_block(
+                    w, yplane[r0 : r0 + 8, c0 : c0 + 8],
+                    qmats[0], *luma_codes, preds[0],
+                )
+            preds[1] = _write_block(
+                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[1],
+            )
+            preds[2] = _write_block(
+                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[2],
+            )
+    w.flush()
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, bytes([0x00]) + _zz_bytes(lq)
+               + bytes([0x01]) + _zz_bytes(cq))
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
 def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
     """Huffman-decode one block's zigzag coefficients; returns (zz, dc)."""
     zz = [0] * 64

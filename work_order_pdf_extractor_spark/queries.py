@@ -3638,6 +3638,9 @@ def q_ann_recall(spark, sf_dir):
     banded = similarity.lsh_topk_banded(
         emb, k=3, bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND
     ).filter(F.col("qid") < ANN_RECALL_Q)
+    salted = similarity.lsh_topk(emb, k=3, n_planes=N_PLANES).filter(
+        F.col("qid") < ANN_RECALL_Q
+    )
     ivf = similarity.ivf_topk(
         emb, k=3, n_centroids=IVF_K,
         centroids=_trained_ivf_centroids(spark, sf_dir),
@@ -3669,6 +3672,7 @@ def q_ann_recall(spark, sf_dir):
 
     return (
         one("lsh_banded", exact_cos, banded)
+        .unionAll(one("lsh_salted", exact_cos, salted))
         .unionAll(one("ivf", exact_cos, ivf))
         .unionAll(one("pq_adc", exact_l2, pq_res))
     )
@@ -3713,6 +3717,8 @@ WITH exact_cos AS ({_SQL_EXACT_COS3}),
 exact_l2 AS ({_SQL_EXACT_L23}),
 lshb AS (SELECT qid, nid FROM ({SQL_LSH_TOPK_BANDED})
          WHERE qid < {ANN_RECALL_Q}),
+lshs AS (SELECT qid, nid FROM ({SQL_LSH_TOPK})
+         WHERE qid < {ANN_RECALL_Q}),
 ivfr AS (SELECT qid, nid FROM ({SQL_IVF_TOPK})
          WHERE qid < {ANN_RECALL_Q}),
 pqr AS (SELECT qid, nid FROM ({SQL_PQ_TOPK})),
@@ -3721,6 +3727,11 @@ counts AS (
          (SELECT COUNT(*) FROM exact_cos) AS exact_rows,
          (SELECT COUNT(*) FROM exact_cos e
           JOIN lshb a ON e.qid = a.qid AND e.nid = a.nid) AS hit_rows
+  UNION ALL
+  SELECT 'lsh_salted',
+         (SELECT COUNT(*) FROM exact_cos),
+         (SELECT COUNT(*) FROM exact_cos e
+          JOIN lshs a ON e.qid = a.qid AND e.nid = a.nid)
   UNION ALL
   SELECT 'ivf',
          (SELECT COUNT(*) FROM exact_cos),
