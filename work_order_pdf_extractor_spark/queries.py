@@ -3635,16 +3635,20 @@ def q_ann_recall(spark, sf_dir):
     exact_cos = similarity.cosine_topk_fast(emb, query_df=qcos, k=3).select(
         "qid", "nid"
     )
+    # NOTE: the approximate searches run UNFILTERED — the recall join
+    # (exact LEFT approx on (qid, nid)) restricts to the query set by
+    # itself, and pushing a qid predicate into the search plans measurably
+    # HURTS: the filter lands on only the query side of the self-join, the
+    # two sides stop being identical subtrees, and Catalyst's exchange
+    # reuse is lost (salted path measured 7.2s filtered vs 3.4s full).
     banded = similarity.lsh_topk_banded(
         emb, k=3, bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND
-    ).filter(F.col("qid") < ANN_RECALL_Q)
-    salted = similarity.lsh_topk(emb, k=3, n_planes=N_PLANES).filter(
-        F.col("qid") < ANN_RECALL_Q
     )
+    salted = similarity.lsh_topk(emb, k=3, n_planes=N_PLANES)
     ivf = similarity.ivf_topk(
         emb, k=3, n_centroids=IVF_K,
         centroids=_trained_ivf_centroids(spark, sf_dir),
-    ).filter(F.col("qid") < ANN_RECALL_Q)
+    )
     pqq = emb.filter(F.col("vec_id") % 100 == 0)
     exact_l2 = similarity.l2_topk(emb, query_df=pqq, k=3).select("qid", "nid")
     pq_res = pq.pq_topk(
