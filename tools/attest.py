@@ -254,9 +254,16 @@ def _rounds() -> list[tuple[int, str, dict]]:
         path = f"CORRECTNESS_r{r:02d}.json"
         if not os.path.exists(os.path.join(REPO, path)):
             break
-        commits = _git(
-            "log", "--diff-filter=A", "--format=%H", "--", path
-        ).splitlines()
+        # Most recent commit touching the report (an amended/re-added report
+        # must key to the tree the driver actually tested, not the first-add
+        # commit); an untracked or locally-modified report falls back to the
+        # working tree (rev None) — the driver runs against a clean checkout,
+        # so at round start the working tree IS the tested code.
+        commits = _git("log", "--format=%H", "--", path).splitlines()
+        dirty = bool(
+            _git("status", "--porcelain", "--", path).strip()
+        )
+        commits = [] if dirty else commits
         with open(os.path.join(REPO, path), encoding="utf-8") as f:
             rows = json.load(f)
         green = {
@@ -267,7 +274,7 @@ def _rounds() -> list[tuple[int, str, dict]]:
             and (row.get("hash_match") in (True, None))
             and not row.get("err")
         }
-        out.append((r, commits[-1] if commits else None, green))
+        out.append((r, commits[0] if commits else None, green))
         r += 1
     return out
 
@@ -275,9 +282,7 @@ def _rounds() -> list[tuple[int, str, dict]]:
 def build_manifest() -> dict:
     cur = fingerprints(None)
     rounds = _rounds()
-    per_round_fp = {
-        r: (fingerprints(commit) if commit else {}) for r, commit, _ in rounds
-    }
+    per_round_fp = {r: fingerprints(commit) for r, commit, _ in rounds}
     queries = {}
     for name, fp in cur.items():
         attested = None

@@ -456,12 +456,31 @@ def connected_components(
     run as one lazy plan between eager ``localCheckpoint`` + convergence
     probes (count + order-free xxhash sum of the edge set; stable hash ⇒
     the star fixpoint — rounds are idempotent there — so the loop exits).
-    ``stats['rounds']`` reports rounds actually executed."""
-    e = (
-        edges.select(
-            F.col("doc1").cast("long").alias("u"),
-            F.col("doc2").cast("long").alias("v"),
+    ``stats['rounds']`` / ``stats['converged']`` report rounds actually
+    executed and whether the fixpoint was reached; exhausting ``max_iter``
+    before the fixpoint RAISES (labels at that point may still point at
+    non-root nodes — silently returning them would hand the caller wrong
+    components).
+
+    Ids must be numeric (castable to long): the label algebra is min()
+    over ids. A non-numeric string id would cast to NULL and silently
+    drop edges, so the cast is guarded — any null-producing cast raises."""
+    ecast = edges.select(
+        F.col("doc1").cast("long").alias("u"),
+        F.col("doc2").cast("long").alias("v"),
+        (F.col("doc1").isNotNull() & F.col("doc2").isNotNull()).alias("_nn"),
+    )
+    bad = ecast.filter(
+        F.col("_nn") & (F.col("u").isNull() | F.col("v").isNull())
+    ).first()
+    if bad is not None:
+        raise ValueError(
+            "connected_components requires numeric (long-castable) ids; "
+            "a non-numeric id cast to NULL would silently collapse the "
+            "edge set"
         )
+    e = (
+        ecast.select("u", "v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -511,6 +530,13 @@ def connected_components(
         prev_probe = probe
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in "
+            f"max_iter={max_iter} rounds; labels would be unreliable "
+            f"(raise max_iter — rounds needed is O(log N))"
+        )
     # at the star fixpoint every non-root points straight at its root
     parents = e.groupBy("u").agg(F.min("v").alias("component_id"))
     return nodes.select(F.col(id_col).cast("long").alias("u")).join(

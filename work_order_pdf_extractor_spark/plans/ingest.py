@@ -47,13 +47,22 @@ def incremental_ingest(
     bands: int = dedup.LSH_BANDS,
     m_bits: int = M_BITS_DEFAULT,
     k: int = K_DEFAULT,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Disposition of every batch document against the corpus:
     ``(id, bloom_maybe, disposition)`` with disposition in
     ``exact_dup`` (canonicalized content already present), ``near_dup``
     (Jaccard ≥ threshold vs some corpus doc via LSH candidates), or
     ``new``. Fully deterministic — the DuckDB oracle replays every stage
-    including the Bloom false positives."""
+    including the Bloom false positives.
+
+    The plan persists its two shingle tables (each feeds both a signature
+    aggregate and the Jaccard-verify join). Callers that run this
+    repeatedly — the streaming foreachBatch twin above all — must pass
+    ``persisted_out`` (a list the persisted DataFrames are appended to)
+    and unpersist them once the returned plan has been consumed;
+    otherwise each invocation leaves cached shingle blocks behind for the
+    life of the session (LRU eviction masks the leak, but it is one)."""
     canon = F.lower(F.trim(F.col(text_col)))
     corp_canon = corpus.select(canon.alias("canon"))
     bat = batch.select(id_col, text_col, canon.alias("canon"))
@@ -85,6 +94,8 @@ def incremental_ingest(
     # (same shared-shingles shape dedup_near_materialize plan-tests)
     sh_b = dedup.word_shingles(survivors, n, text_col, id_col).persist()
     sh_c = dedup.word_shingles(corpus, n, text_col, id_col).persist()
+    if persisted_out is not None:
+        persisted_out.extend([sh_b, sh_c])
     sig_b = dedup.minhash_signatures(
         survivors, n_hashes, n, text_col, id_col, shingles=sh_b
     )
@@ -174,12 +185,16 @@ def ingest_with_checkpoint(
         )
         todo = withb.join(F.broadcast(done_df), "bucket", "left_anti")
 
+    persisted: list = []
     result = incremental_ingest(
-        corpus, todo.drop("bucket"), id_col=id_col, **ingest_kwargs
+        corpus, todo.drop("bucket"), id_col=id_col,
+        persisted_out=persisted, **ingest_kwargs
     ).withColumn("bucket", bcol)
 
     tmp_dir = os.path.join(out_dir, f"_tmp-{run_id}")
     result.write.mode("overwrite").partitionBy("bucket").parquet(tmp_dir)
+    for df in persisted:
+        df.unpersist()
 
     wrote_any = os.path.isdir(tmp_dir) and any(
         nm.startswith("bucket=") for nm in os.listdir(tmp_dir)
@@ -214,13 +229,20 @@ def ingest_with_checkpoint(
                 continue
             os.replace(os.path.join(tmp_dir, name), final)
             s = stats_by_bucket.get(b)
+            # rows_in == rows_out holds BY CONSTRUCTION here (ingest emits
+            # exactly one disposition row per batch document, no filter or
+            # fan-out in between), so the output count is the true input
+            # count. Duplicates are a disposition, not a failure — they get
+            # their own field; deterministic parsing can't fail, n_failed
+            # stays an honest 0.
             L._append_lineage_row(
                 out_dir,
                 {
                     "bucket": b,
                     "rows_in": int(s["rows_out"]) if s else 0,
                     "rows_out": int(s["rows_out"]) if s else 0,
-                    "n_failed": int(s["n_dups"]) if s else 0,
+                    "n_failed": 0,
+                    "n_dups": int(s["n_dups"]) if s else 0,
                     "input_fingerprint": 0,
                     "run_id": run_id,
                 },

@@ -122,15 +122,23 @@ def run_stream_ingest(
     stream = reader.load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        result = incremental_ingest(corpus, batch_df).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        (
-            result.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        # collect the plan's persisted shingle tables and release them
+        # after the batch write — a long-lived stream must not accumulate
+        # one pair of cached DataFrames per micro-batch
+        persisted: list = []
+        result = incremental_ingest(
+            corpus, batch_df, persisted_out=persisted
+        ).withColumn("batch_id", F.lit(batch_id))
+        try:
+            (
+                result.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
