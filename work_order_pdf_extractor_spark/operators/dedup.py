@@ -67,6 +67,36 @@ def deduplicate_exact(
 
 
 
+def df_cut_shingles(
+    sh: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    standard MinHashLSH hygiene against stop phrases (SCALE.md's
+    top-frequency-shingle hazard, now code instead of prose).
+
+    Why it matters at 100 TB: a boilerplate phrase shared by millions of
+    documents otherwise dominates their MinHash signatures, funnels them
+    into the same LSH buckets, and makes the verify stage's per-bucket
+    fan-out quadratic in the corpus — the exact skew the salting knobs
+    exist to absorb. Cutting by df bounds every shingle's contribution to
+    candidate generation at ``max_df`` docs, so the verify fan-out per
+    shingle is ≤ max_df², independent of corpus size.
+
+    Plan shape: one map-side-combined count per shingle followed by a
+    semi-join back on the same key — the aggregate's shuffle partitioning
+    is reused by the join, so the cut costs one extra shuffle on the
+    (constant-size) shingle hash, never on text. Documents whose shingles
+    are ALL hot drop out of signature generation entirely (they are pure
+    boilerplate — exactly the rows near-dup candidates should not chase)."""
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -75,6 +105,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard ≥ threshold — the VERIFICATION stage of a dedup
     pipeline.
@@ -87,12 +118,17 @@ def ngram_jaccard_pairs(
     ``(doc2, shingle)``; never a shingle cross product. This is the 100 TB
     path (LSH prunes, Jaccard verifies). ``shingles`` lets a composed
     pipeline pass a shared (persisted/materialized) shingle table instead
-    of re-deriving it per stage."""
+    of re-deriving it per stage. ``max_df`` applies
+    :func:`df_cut_shingles` first, making the score "Jaccard over rare
+    shingles" — sizes and intersections both count only surviving
+    shingles, so the metric stays a true Jaccard on the cut sets."""
     sh = (
         shingles
         if shingles is not None
         else word_shingles(df, n, text_col, id_col)
     )
+    if max_df is not None:
+        sh = df_cut_shingles(sh, max_df, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         c = candidates.select("doc1", "doc2")
@@ -200,11 +236,25 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signatures banded into ``bands`` groups;
     docs sharing any band bucket become candidates. The join key is a band
-    hash — linear in corpus size, never quadratic."""
-    sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles)
+    hash — linear in corpus size, never quadratic.
+
+    ``max_df`` drops shingles with document frequency > max_df before
+    signatures (:func:`df_cut_shingles`): without it a corpus-wide stop
+    phrase funnels unrelated documents into shared buckets and the verify
+    fan-out goes quadratic; with it a shingle's candidate contribution is
+    bounded at max_df² pairs."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, n, text_col, id_col)
+    )
+    if max_df is not None:
+        sh = df_cut_shingles(sh, max_df, id_col)
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh)
     allb = band_buckets(sig, n_hashes, bands, id_col)
     a, b_ = allb.alias("a"), allb.alias("b")
     return (

@@ -1324,6 +1324,44 @@ FROM bands a JOIN bands b
 """
 
 
+LSH_MAX_DF = 3  # document-frequency cut for the stop-phrase-hygiene query
+
+
+def q_minhash_lsh_dfcut(spark, sf_dir):
+    """MinHash+LSH candidate pairs WITH the document-frequency cut
+    (``max_df=3``): shingles appearing in more than 3 documents are
+    dropped before signature generation — the standard MinHashLSH
+    hygiene against corpus-wide stop phrases. At 100 TB this bounds each
+    shingle's candidate contribution at max_df² pairs; without it one
+    boilerplate phrase funnels unrelated documents into shared buckets
+    and the verify fan-out goes quadratic (hot-bucket fixture test in
+    tests/test_dedup_dfcut.py measures exactly that)."""
+    from .operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        ld(spark, sf_dir, "documents"), N_MINHASH, LSH_BANDS, max_df=LSH_MAX_DF
+    )
+
+
+SQL_MINHASH_LSH_DFCUT = f"""
+WITH sh0 AS ({_SQL_SHINGLES}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {LSH_MAX_DF}),
+shingles AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN({_mh_hash_sql('shingle', i)}) AS mh{i}" for i in range(N_MINHASH))}
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
+      for b in range(LSH_BANDS)
+  )})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -3955,6 +3993,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "lsh_topk_banded": (q_lsh_topk_banded, SQL_LSH_TOPK_BANDED),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "minhash_lsh_dfcut": (q_minhash_lsh_dfcut, SQL_MINHASH_LSH_DFCUT),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "langid": (q_langid, SQL_LANGID),
