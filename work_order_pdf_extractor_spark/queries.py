@@ -3952,6 +3952,109 @@ LEFT JOIN near nr ON b.doc_id = nr.doc_id
 """
 
 
+def q_ingest_merge(spark, sf_dir):
+    """The full nightly cycle: ingest dispositions the batch against the
+    corpus (Bloom → exact verify → LSH near-dup), then the
+    ``disposition='new'`` docs MERGE into the standing corpus (same-key
+    rows update, fresh keys insert, untouched corpus rows keep) and the
+    corpus Bloom metadata is rebuilt over the post-merge state — the two
+    follow-on steps ``incremental_ingest`` alone stops short of. Output:
+    per-action counts + text mass, plus a ``bloom_set_bits`` metadata
+    row (set-bit population of the updated corpus bitmap), so the oracle
+    checks corpus-state-after-night, not just the dispositions. One lazy
+    plan: disposition feeds the merge via a semi-join; the merge is one
+    full-outer join on the key (bucket-co-locatable at scale, see
+    plans/bucketing.py); the Bloom rebuild is the same map-side-combined
+    ``bit_or`` aggregate the prefilter uses."""
+    from .operators.membership import K_DEFAULT, M_BITS_DEFAULT, bloom_build
+    from .plans import ingest
+
+    docs = ld(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 1).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zzzq")))
+        .alias("text"),
+    )
+    disp = ingest.incremental_ingest(corpus, batch)
+    new_docs = batch.join(
+        disp.filter(F.col("disposition") == "new").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    t, s = corpus.alias("t"), new_docs.alias("s")
+    merged = t.join(s, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("s.text"), F.col("t.text")).alias("text"),
+        F.when(
+            F.col("s.text").isNotNull() & F.col("t.text").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("s.text").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+    )
+    actions = merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )
+    bloom = bloom_build(
+        merged.select(F.lower(F.trim(F.col("text"))).alias("canon")),
+        "canon",
+        M_BITS_DEFAULT,
+        K_DEFAULT,
+    )
+    meta = bloom.agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n")
+    ).select(
+        F.lit("bloom_set_bits").alias("merge_action"),
+        "n",
+        F.lit(None).cast("long").alias("sum_len"),
+    )
+    return actions.unionByName(meta)
+
+
+SQL_INGEST_MERGE = f"""
+WITH disp AS (SELECT * FROM ({SQL_INCREMENTAL_INGEST})),
+corpusd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1),
+batchd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ELSE text || ' zzzq' END AS text
+  FROM documents WHERE doc_id % 5 = 0),
+newdocs AS (
+  SELECT b.doc_id, b.text FROM batchd b
+  JOIN disp d ON b.doc_id = d.doc_id AND d.disposition = 'new'),
+merged AS (
+  SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+         COALESCE(s.text, t.text) AS text,
+         CASE WHEN s.text IS NOT NULL AND t.text IS NOT NULL THEN 'updated'
+              WHEN s.text IS NOT NULL THEN 'inserted'
+              ELSE 'kept' END AS merge_action
+  FROM corpusd t FULL OUTER JOIN newdocs s ON t.doc_id = s.doc_id),
+actions AS (
+  SELECT merge_action, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(text)) AS BIGINT) AS sum_len
+  FROM merged GROUP BY 1),
+canonm AS (SELECT lower(trim(text)) AS canon FROM merged),
+mseeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+mpos AS (
+  SELECT CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || '#' || canon),
+                                  1, 8)) AS BIGINT) % 131072 AS p
+  FROM canonm, mseeds),
+mwords AS (
+  SELECT CAST(p // 63 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+  FROM mpos GROUP BY 1),
+meta AS (
+  SELECT 'bloom_set_bits' AS merge_action,
+         CAST(SUM(bit_count(word)) AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS sum_len
+  FROM mwords)
+SELECT * FROM actions UNION ALL SELECT * FROM meta
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Ordering IS the attestation policy: the driver checks the first 50
     # slots, and tools/attest.py mechanically derives which queries are
@@ -3975,6 +4078,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
+    "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
