@@ -59,16 +59,17 @@ def test_wav_roundtrip_exact():
 
 
 def test_remaining_codec_boundary_is_explicit():
-    """Baseline grayscale JPEG is now decodable (core/jpegcodec.py); the
-    remaining documented boundaries — progressive/color JPEG, perceptual
-    audio (MP3) — reject explicitly rather than mis-decoding."""
+    """Baseline AND progressive JPEG are now decodable
+    (core/jpegcodec.py); the remaining documented boundaries — lossless/
+    hierarchical SOFs, perceptual audio (MP3) — reject explicitly rather
+    than mis-decoding."""
     from work_order_pdf_extractor_spark.core import jpegcodec as J
 
     flat = J.encode_baseline_gray(8, 8, [7] * 64)
-    # SOF0 -> SOF2 marker: progressive
-    progressive = flat.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # SOF0 -> SOF3 marker: lossless sequential, out of subset
+    lossless = flat.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(NotImplementedError):
-        M.decode_image(progressive)
+        M.decode_image(lossless)
     # truncated garbage after SOI is corrupt, not "unsupported"
     with pytest.raises((ValueError, IndexError, KeyError, struct.error)):
         M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")

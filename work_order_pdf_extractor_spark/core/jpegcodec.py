@@ -651,8 +651,10 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
     predictors; subsampled planes upsampled by sample replication) — to
     RGB triples: marker walk (DQT/SOF0/DHT/DRI/SOS), restart-interval RSTn resync, canonical-Huffman
     entropy decode, dequantize, inverse zigzag, float IDCT, JFIF
-    YCbCr→RGB for color, level shift, clamp, crop. Outside the subset
-    (progressive SOF2, sampling factors > 2, 16-bit quant) raises ``NotImplementedError``; corrupt streams raise
+    YCbCr→RGB for color, level shift, clamp, crop. A progressive (SOF2)
+    frame dispatches to :func:`decode_progressive`. Outside the subset
+    (sampling factors > 2, 16-bit quant, hierarchical/lossless/arithmetic
+    SOFs) raises ``NotImplementedError``; corrupt streams raise
     ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
@@ -683,8 +685,10 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
                     tbl[ZIGZAG[i]] = data[off + 1 + i]
                 quants[tq] = tbl.reshape(8, 8)
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xC2:  # progressive frame: hand off wholesale
+            return decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline (SOF0) / progressive (SOF2) JPEG")
         elif marker == 0xC0:  # SOF0
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
@@ -798,5 +802,706 @@ def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
     width, height, rgb = decode_baseline(payload)
     return width, height, [
         (299 * r + 587 * g + 114 * b) // 1000 for r, g, b in rgb
+    ]
+
+
+# ===========================================================================
+# Progressive JPEG (SOF2) — spectral selection + successive approximation
+# ===========================================================================
+#
+# Roughly half of crawled-web JPEGs are progressive (T.81 Annex G): the
+# frame's quantized coefficients are transmitted over MULTIPLE scans —
+# first a coarse pass (DC, then low-frequency AC bands, each optionally
+# point-transformed by Al bits), then refinement scans that append one
+# bit of precision at a time. The decoder below reconstructs the exact
+# quantized coefficient array across scans and only then runs the same
+# dequant/IDCT/YCbCr machinery as the baseline path, so a progressive
+# stream of the same coefficients decodes bit-identically to its
+# baseline twin (differential-tested).
+#
+# The fixture encoder emits the libjpeg default scan script (DC Al=1 →
+# AC bands Al=2/1 → AC refinements → DC refinement → final AC Al=0) with
+# per-scan OPTIMIZED Huffman tables (T.81 K.2 frequency algorithm) —
+# required because Annex K's example AC tables lack the EOBn (r<<4)
+# symbols progressive AC coding emits, and matching what real encoders
+# do (libjpeg forces -optimize for progressive output).
+# Reference analog: poppler/pdf2image decodes progressive transparently
+# (``work_order_extractor.py:1121-1146``); here the boundary falls the
+# EMIT==PARSE way. Out of subset: DRI/RSTn inside progressive scans and
+# arithmetic coding raise ``NotImplementedError``.
+
+
+def _gen_optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 frequency→(BITS, HUFFVAL) generation with the
+    16-bit length limit adjustment — the jpeg_gen_optimal_table
+    algorithm. A dummy 257th symbol with frequency 1 reserves the
+    all-ones codeword (required so a 1-filled pad never decodes as a
+    valid symbol)."""
+    f = [0] * 257
+    for sym, n in freq.items():
+        f[sym] = n
+    f[256] = 1  # dummy: reserves the all-1s code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = min(
+            (i for i in range(257) if f[i] > 0),
+            key=lambda i: (f[i], -i),
+            default=None,
+        )
+        if c1 is None:
+            break
+        c2 = min(
+            (i for i in range(257) if f[i] > 0 and i != c1),
+            key=lambda i: (f[i], -i),
+            default=None,
+        )
+        if c2 is None:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for ln in range(32, 16, -1):  # limit code lengths to 16
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while bits[ln] == 0:
+        ln -= 1
+    bits[ln] -= 1  # drop the dummy symbol's code (the longest)
+    huffval = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], huffval
+
+
+class _SymCounter:
+    """Pass-1 sink: counts Huffman symbols per (kind, table id); raw bits
+    are free (they never enter a Huffman table)."""
+
+    def __init__(self) -> None:
+        self.freq: dict[tuple[str, int], dict[int, int]] = {}
+
+    def sym(self, kind: str, tid: int, s: int) -> None:
+        d = self.freq.setdefault((kind, tid), {})
+        d[s] = d.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Pass-2 sink: writes assigned codes through a :class:`_BitWriter`."""
+
+    def __init__(self, codes: dict[tuple[str, int], dict]) -> None:
+        self.w = _BitWriter()
+        self.codes = codes
+
+    def sym(self, kind: str, tid: int, s: int) -> None:
+        code, ln = self.codes[(kind, tid)][s]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _quant_plane_blocks(plane: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8×8 block of an (8-aligned) plane; returns
+    an (bh, bw, 64) int64 array in ZIGZAG coefficient order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    inv = np.array(ZIGZAG)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = _C @ (plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _C.T
+            q = np.round(coef / qmat).astype(np.int64)
+            out[by, bx] = q.flat[inv]
+    return out
+
+
+def _ac_shift(v: int, al: int) -> int:
+    """AC point transform: division by 2^Al truncating toward ZERO
+    (T.81 G.1.2.2) — DC uses a plain arithmetic shift instead."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_dc_scan(sink, scan_comps, ah: int, al: int) -> None:
+    """DC scan over the MCU-interleaved grid: first pass (Ah=0) codes the
+    point-transformed DC differences with the component's DC table;
+    refinement passes (Ah>0) are one raw bit per block."""
+    mcuy, mcux = scan_comps[0]["mcu_grid"]
+    preds = [0] * len(scan_comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(scan_comps):
+                for v in range(c["vi"]):
+                    for h in range(c["hi"]):
+                        by, bx = my * c["vi"] + v, mx * c["hi"] + h
+                        dc = int(c["blocks"][by, bx, 0])
+                        if ah == 0:
+                            val = dc >> al  # arithmetic shift (G.1.2.1)
+                            size, bits = _magnitude(val - preds[ci])
+                            preds[ci] = val
+                            sink.sym("dc", c["dc_tid"], size)
+                            sink.bits(bits, size)
+                        else:
+                            sink.bits((dc >> al) & 1, 1)
+
+
+def _emit_ac_scan(sink, comp, ss: int, se: int, ah: int, al: int) -> None:
+    """AC scan (single component, block raster order over the component's
+    own dimensions) with EOBRUN coding; Ah=0 is a first pass over the
+    band (values point-transformed by Al), Ah>0 the refinement pass
+    (T.81 G.1.2.3). The refinement emitter is written in DECODER order —
+    every correction bit lands exactly where the refinement decoder's
+    advance loop will consume it: bits for already-nonzero coefficients
+    inside a ZRL window or before a newly-significant coefficient follow
+    THAT symbol; bits in the zero tail of a block attach to the pending
+    EOB run and flush with its EOBn symbol (two separate buffers, the
+    BE/BR split of T.81 figure G.7)."""
+    tid = comp["ac_tid"]
+    eobrun = 0
+    be: list[int] = []  # correction bits tied to the pending EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            sink.sym("ac", tid, n << 4)
+            if n:
+                sink.bits(eobrun - (1 << n), n)
+            eobrun = 0
+            for b in be:
+                sink.bits(b, 1)
+            be.clear()
+
+    bh, bw = comp["own_grid"]
+    for by in range(bh):
+        for bx in range(bw):
+            zz = comp["blocks"][by, bx]
+            if ah == 0:
+                nz = [
+                    (k, _ac_shift(int(zz[k]), al))
+                    for k in range(ss, se + 1)
+                    if _ac_shift(int(zz[k]), al) != 0
+                ]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                prev = ss - 1
+                for k, v in nz:
+                    run = k - prev - 1
+                    while run > 15:
+                        sink.sym("ac", tid, 0xF0)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    sink.sym("ac", tid, (run << 4) | size)
+                    sink.bits(bits, size)
+                    prev = k
+                if prev < se:
+                    eobrun += 1
+                continue
+            # ---- refinement pass ----
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in band]
+            sig = [i for i, a in enumerate(absv) if a == 1]
+            cursor = 0
+            for j in sig:
+                run = 0
+                pend: list[int] = []  # bits since the last emitted symbol
+                for p in range(cursor, j):
+                    if absv[p] == 0:
+                        run += 1
+                        if run == 16:
+                            # the decoder's ZRL consumes exactly 16
+                            # zero-history positions, reading correction
+                            # bits for nonzero ones passed on the way
+                            flush_eob()
+                            sink.sym("ac", tid, 0xF0)
+                            for b in pend:
+                                sink.bits(b, 1)
+                            pend = []
+                            run = 0
+                    else:
+                        pend.append(absv[p] & 1)
+                flush_eob()
+                sink.sym("ac", tid, (run << 4) | 1)
+                sink.bits(1 if band[j] > 0 else 0, 1)
+                for b in pend:
+                    sink.bits(b, 1)
+                cursor = j + 1
+            tail = [absv[p] & 1 for p in range(cursor, len(absv)) if absv[p] > 1]
+            if cursor < len(absv) or sig == []:
+                # remaining zero-history tail (possibly empty of bits):
+                # one EOB event; its correction bits ride with the EOBn
+                eobrun += 1
+                be.extend(tail)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+    flush_eob()
+
+
+# libjpeg's default progressive scan scripts: (comp indices, Ss, Se, Ah, Al)
+_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _assemble_progressive(
+    width: int,
+    height: int,
+    comps: list[dict],
+    quant_segments: bytes,
+    script: list[tuple],
+) -> bytes:
+    """Emit the SOF2 frame: per scan, count symbols (pass 1), generate
+    optimal tables, write DHT + SOS + entropy data (pass 2)."""
+    sof = struct.pack(">BHHB", 8, height, width, len(comps)) + b"".join(
+        bytes([c["cid"], (c["hi"] << 4) | c["vi"], c["qid"]]) for c in comps
+    )
+    out = bytearray(
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, quant_segments)
+        + _seg(0xC2, sof)
+    )
+    for comp_idx, ss, se, ah, al in script:
+        scan_comps = [comps[i] for i in comp_idx]
+        counter = _SymCounter()
+        if ss == 0:
+            _emit_dc_scan(counter, scan_comps, ah, al)
+        else:
+            _emit_ac_scan(counter, scan_comps[0], ss, se, ah, al)
+        dht = bytearray()
+        codes: dict[tuple[str, int], dict] = {}
+        for (kind, tid), freq in sorted(counter.freq.items()):
+            bits, vals = _gen_optimal_table(freq)
+            codes[(kind, tid)] = _build_codes(bits, vals)
+            cls = 0x00 if kind == "dc" else 0x10
+            dht += bytes([cls | tid]) + bytes(bits) + bytes(vals)
+        writer = _SymWriter(codes)
+        if ss == 0:
+            _emit_dc_scan(writer, scan_comps, ah, al)
+        else:
+            _emit_ac_scan(writer, scan_comps[0], ss, se, ah, al)
+        writer.w.flush()
+        sos = bytes([len(scan_comps)]) + b"".join(
+            bytes([c["cid"], (c["dc_tid"] << 4) | c["ac_tid"]])
+            for c in scan_comps
+        ) + bytes([ss, se, (ah << 4) | al])
+        if dht:
+            out += _seg(0xC4, bytes(dht))
+        out += _seg(0xDA, sos) + bytes(writer.w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_progressive_gray(
+    width: int, height: int, samples: list[int], quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale as a PROGRESSIVE (SOF2) JFIF using the
+    libjpeg default scan script — spectral selection (DC, AC 1–5,
+    AC 6–63) and successive approximation (Al=2→1→0) with per-scan
+    optimized Huffman tables. The union of scans transmits every
+    coefficient bit, so the stream decodes bit-identically to the
+    baseline encoding of the same samples under the same quant table."""
+    q = list(quant or FLAT_QUANT)
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+    blocks = _quant_plane_blocks(_pad_plane(samples, width, height), qmat)
+    bh, bw = blocks.shape[0], blocks.shape[1]
+    comps = [
+        {
+            "cid": 1, "hi": 1, "vi": 1, "qid": 0, "dc_tid": 0, "ac_tid": 0,
+            "blocks": blocks, "mcu_grid": (bh, bw), "own_grid": (bh, bw),
+        }
+    ]
+    return _assemble_progressive(
+        width, height, comps, bytes([0x00]) + _zz_bytes(q), _SCRIPT_GRAY
+    )
+
+
+def encode_progressive_ycbcr(
+    width: int,
+    height: int,
+    y: list[int],
+    cb: list[int],
+    cr: list[int],
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode three YCbCr planes as a PROGRESSIVE (SOF2) color JFIF —
+    ``subsampling="444"`` (full-resolution chroma) or ``"420"`` (chroma
+    supplied at half resolution, ``ceil(w/2) × ceil(h/2)``, luma sampled
+    2×2). Uses the libjpeg default color scan script: interleaved DC
+    first, per-component AC band scans, successive-approximation
+    refinements, with per-scan optimized Huffman tables."""
+    lq, cq = list(luma_quant or FLAT_QUANT), list(chroma_quant or FLAT_QUANT)
+    lqm = np.asarray(lq, dtype=np.float64).reshape(8, 8)
+    cqm = np.asarray(cq, dtype=np.float64).reshape(8, 8)
+    if subsampling == "444":
+        planes = [
+            (_pad_plane(y, width, height), lqm, 1, 1),
+            (_pad_plane(cb, width, height), cqm, 1, 1),
+            (_pad_plane(cr, width, height), cqm, 1, 1),
+        ]
+        mcuy, mcux = (height + 7) // 8, (width + 7) // 8
+    elif subsampling == "420":
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+        yp = _pad_plane(y, width, height, align=16)
+        cbp = _pad_plane(cb, cw, ch)
+        crp = _pad_plane(cr, cw, ch)
+        cbp = np.pad(cbp, ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])), mode="edge")
+        crp = np.pad(crp, ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])), mode="edge")
+        planes = [(yp, lqm, 2, 2), (cbp, cqm, 1, 1), (crp, cqm, 1, 1)]
+    else:
+        raise NotImplementedError(f"subsampling {subsampling!r}")
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    comps = []
+    for i, (plane, qm, hi, vi) in enumerate(planes):
+        blocks = _quant_plane_blocks(plane, qm)
+        # non-interleaved AC scans walk the component's OWN block dims
+        # (T.81 A.2.2: ceil of the scaled sample dims), which for a
+        # subsampled frame is smaller than the padded interleaved grid
+        ow = (-(-width * hi // hmax) + 7) // 8
+        oh = (-(-height * vi // vmax) + 7) // 8
+        comps.append(
+            {
+                "cid": i + 1, "hi": hi, "vi": vi,
+                "qid": 0 if i == 0 else 1,
+                "dc_tid": 0 if i == 0 else 1,
+                "ac_tid": 0 if i == 0 else 1,
+                "blocks": blocks, "mcu_grid": (mcuy, mcux),
+                "own_grid": (oh, ow),
+            }
+        )
+    quant_segs = bytes([0x00]) + _zz_bytes(lq) + bytes([0x01]) + _zz_bytes(cq)
+    return _assemble_progressive(
+        width, height, comps, quant_segs, _SCRIPT_COLOR
+    )
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos``, skipping
+    entropy bytes and stuffed FF00 pairs."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("ran off stream looking for a marker")
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    scan: list[tuple[int, dict]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: list[np.ndarray],
+    dc_tables: dict,
+    ac_tables: dict,
+    mcu_grid: tuple[int, int],
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    grids; returns the stream position of the next marker. ``scan`` is
+    ``[(comp index, comp spec dict)]`` in scan order."""
+    r = _BitReader(payload, pos)
+    eobrun = 0
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan
+        preds = [0] * len(scan)
+        mcuy, mcux = mcu_grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for si, (ci, c) in enumerate(scan):
+                    for v in range(c["vi"]):
+                        for h in range(c["hi"]):
+                            by, bx = my * c["vi"] + v, mx * c["hi"] + h
+                            if ah == 0:
+                                size = r.read_symbol(dc_tables[c["dc_tid"]])
+                                preds[si] += _extend(r.read_bits(size), size)
+                                coefs[ci][by, bx, 0] = preds[si] << al
+                            else:
+                                coefs[ci][by, bx, 0] |= r.read_bit() << al
+        return _next_marker(payload, r.pos)
+    ci, c = scan[0]
+    bh, bw = c["own_grid"]
+    if ss == 0:  # non-interleaved DC scan (single-component frame)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ah == 0:
+                    size = r.read_symbol(dc_tables[c["dc_tid"]])
+                    pred += _extend(r.read_bits(size), size)
+                    coefs[ci][by, bx, 0] = pred << al
+                else:
+                    coefs[ci][by, bx, 0] |= r.read_bit() << al
+        return _next_marker(payload, r.pos)
+    act = ac_tables[c["ac_tid"]]
+    p1, m1 = 1 << al, -1 << al
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coefs[ci][by, bx]
+            if ah == 0:  # first pass over this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = r.read_symbol(act)
+                    rn, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if rn == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << rn) + (r.read_bits(rn) if rn else 0) - 1
+                        break
+                    k += rn
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(r.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3 / decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = r.read_symbol(act)
+                        rn, s = sym >> 4, sym & 0x0F
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid magnitude in AC refinement"
+                                )
+                            val = p1 if r.read_bit() else m1
+                        elif rn != 15:
+                            eobrun = (1 << rn) + (
+                                r.read_bits(rn) if rn else 0
+                            )
+                            break  # correction loop below finishes block
+                        while k <= se:
+                            if zz[k] != 0:
+                                if r.read_bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if rn == 0:
+                                    break
+                                rn -= 1
+                            k += 1
+                        if val:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits across the EOB run
+                        if zz[k] != 0:
+                            if r.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(payload, r.pos)
+
+
+def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a PROGRESSIVE (SOF2) 8-bit JPEG to RGB triples: multi-scan
+    marker walk (tables may be redefined between scans), spectral
+    selection and successive approximation for DC and AC (EOBRUN,
+    ZRL-in-refinement, buffered correction bits), coefficients
+    accumulated across scans, then the same dequant / inverse zigzag /
+    float IDCT / replication upsample / JFIF YCbCr→RGB finish as
+    :func:`decode_baseline`. Restart intervals inside progressive scans
+    and arithmetic coding raise ``NotImplementedError``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comp_specs: list[dict] = []
+    coefs: list[np.ndarray] = []
+    mcu_grid = (0, 0)
+    restart_interval = 0
+    hmax = vmax = 1
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = data[off + 1 + i]
+                quants[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0x0F
+                bits = list(data[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(data[off + 17 : off + 17 + nvals])
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_decode_table(
+                    bits, vals
+                )
+                off += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xC2:  # SOF2
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("only 8-bit, 1 or 3 components")
+            for cn in range(ncomp):
+                cid, sampling, tq = data[6 + 3 * cn : 9 + 3 * cn]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2 unsupported"
+                    )
+                comp_specs.append(
+                    {"cid": cid, "tq": tq, "hi": hi, "vi": vi}
+                )
+            hmax = max(c["hi"] for c in comp_specs)
+            vmax = max(c["vi"] for c in comp_specs)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            mcu_grid = (mcuy, mcux)
+            for c in comp_specs:
+                c["own_grid"] = (
+                    (-(-height * c["vi"] // vmax) + 7) // 8,
+                    (-(-width * c["hi"] // hmax) + 7) // 8,
+                )
+                c["dc_tid"] = c["ac_tid"] = 0  # set per scan from SOS
+                coefs.append(
+                    np.zeros(
+                        (mcuy * c["vi"], mcux * c["hi"], 64), dtype=np.int64
+                    )
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "decode_progressive handles SOF2 only (baseline goes "
+                "through decode_baseline)"
+            )
+        elif marker == 0xDA:
+            if not comp_specs:
+                raise ValueError("SOS before SOF2")
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart intervals inside progressive scans unsupported"
+                )
+            ns = data[0]
+            scan = []
+            for cn in range(ns):
+                cid, sel = data[1 + 2 * cn], data[2 + 2 * cn]
+                for idx, c in enumerate(comp_specs):
+                    if c["cid"] == cid:
+                        c["dc_tid"], c["ac_tid"] = sel >> 4, sel & 0x0F
+                        scan.append((idx, c))
+                        break
+                else:
+                    raise ValueError(f"scan references unknown component {cid}")
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be non-interleaved")
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, scan, ss, se, ah, al,
+                coefs, dc_tables, ac_tables, mcu_grid,
+            )
+            continue
+        pos += 2 + seglen
+    if width is None or not comp_specs:
+        raise ValueError("missing SOF2 frame header")
+
+    # finish: dequant + inverse zigzag + IDCT per block, then the same
+    # upsample/color tail as the baseline decoder
+    inv = np.array(ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comp_specs):
+        grid = coefs[ci]
+        gh, gw = grid.shape[0], grid.shape[1]
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
+        qmat = quants[c["tq"]]
+        for by in range(gh):
+            for bx in range(gw):
+                coef = np.zeros(64)
+                coef[inv] = grid[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ (coef.reshape(8, 8) * qmat) @ _C
+                )
+        if c["hi"] != hmax or c["vi"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["vi"], axis=0),
+                hmax // c["hi"],
+                axis=1,
+            )
+        planes.append(plane)
+    if len(planes) == 1:
+        v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)
+        v = v[:height, :width].ravel()
+        return width, height, [(int(s), int(s), int(s)) for s in v]
+    yp = planes[0] + 128.0
+    cbp, crp = planes[1], planes[2]
+    rr = np.clip(np.round(yp + 1.402 * crp), 0, 255).astype(np.int64)
+    gg = np.clip(
+        np.round(yp - 0.344136 * cbp - 0.714136 * crp), 0, 255
+    ).astype(np.int64)
+    bb = np.clip(np.round(yp + 1.772 * cbp), 0, 255).astype(np.int64)
+    rr, gg, bb = (
+        rr[:height, :width].ravel(),
+        gg[:height, :width].ravel(),
+        bb[:height, :width].ravel(),
+    )
+    return width, height, [
+        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
     ]
 

@@ -11,11 +11,12 @@ Decoders are stdlib-only and cover exactly the formats the builders emit
 
 - image: uncompressed 24-bit BI_RGB BMP (bottom-up, row-padded), binary
   P6 PPM, non-interlaced 8-bit RGB PNG (zlib inflate + full filter
-  reconstruction), and baseline-sequential JPEG — grayscale, YCbCr
-  4:4:4 color, and 4:2:0 chroma-subsampled color (real Huffman entropy
-  decode + dequant + IDCT + chroma upsampling + JFIF YCbCr→RGB,
-  ``core/jpegcodec.py``). Progressive JPEG is the remaining documented
-  :class:`NotImplementedError` boundary.
+  reconstruction), and JPEG — baseline-sequential (grayscale, YCbCr
+  4:4:4, 4:2:0 chroma-subsampled, restart intervals) AND progressive
+  SOF2 (spectral selection + successive approximation) — real Huffman
+  entropy decode + dequant + IDCT + chroma upsampling + JFIF YCbCr→RGB,
+  ``core/jpegcodec.py``. Sampling factors > 2 are the remaining
+  documented :class:`NotImplementedError` boundary.
 - audio: RIFF/WAVE PCM16 mono/stereo header + sample parse.
 - video: :func:`frame_sample_plan` is pure plan arithmetic (the per-frame
   decode would be the image path above).
@@ -363,8 +364,9 @@ def decode_image(payload: bytes) -> dict:
 
     ``sum_luma``/``n_px`` are integers (oracle-exact); ``mean_luma`` and the
     16-dim 4×4 block-mean ``embedding`` are the float conveniences derived
-    from them. Color/progressive JPEG is the remaining documented
-    boundary (``core/jpegcodec.py``)."""
+    from them. JPEG covers baseline (gray/4:4:4/4:2:2/4:2:0, restart
+    intervals) AND progressive SOF2; sampling factors > 2 remain the
+    documented boundary (``core/jpegcodec.py``)."""
     if payload[:2] == b"BM":
         width, height, lumas = _decode_bmp(payload)
     elif payload[:2] == b"P6":
@@ -797,6 +799,55 @@ def media_jpeg420_from_documents(docs: DataFrame) -> DataFrame:
                 cb = [128 + 3 * (did % 5) - 6] * (cw * ch)
                 cr = [128 + 4 * ((did // 5) % 5) - 8] * (cw * ch)
                 payloads.append(encode_baseline_ycbcr420(w, h, y, cb, cr))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
+def media_progressive_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a PROGRESSIVE (SOF2) 4:2:0 color JPEG per document —
+    the other half of crawled-web JPEGs (multi-scan spectral selection +
+    successive approximation, per-scan optimized Huffman tables; see
+    ``core/jpegcodec.py``). Same analytic-oracle construction as the
+    baseline 4:2:0 fixture but with shifted per-doc constants: dims
+    ``(16 + 4·((doc_id+1) mod 3), 16 + 4·((doc_id//3 + 1) mod 4))``
+    (non-MCU-aligned, so padding + crop run), Y constant per 16×16
+    region at ``(2·rx + ry + doc_id) mod 256``, chroma constant at
+    ``cb = 128 + 3·((doc_id+1) mod 5) − 6``, ``cr = 128 +
+    4·((doc_id//5 + 2) mod 5) − 8`` (offsets from the same
+    rounding-safe set the 4:2:0 fixture validated)."""
+    from ..core.jpegcodec import encode_progressive_ycbcr
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 16 + 4 * ((did + 1) % 3)
+                h = 16 + 4 * ((did // 3 + 1) % 4)
+                y = [
+                    (2 * (x // 16) + (yy // 16) + did) % 256
+                    for yy in range(h)
+                    for x in range(w)
+                ]
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+                cb = [128 + 3 * ((did + 1) % 5) - 6] * (cw * ch)
+                cr = [128 + 4 * ((did // 5 + 2) % 5) - 8] * (cw * ch)
+                payloads.append(
+                    encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="420")
+                )
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"].values,

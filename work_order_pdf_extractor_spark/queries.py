@@ -2629,6 +2629,55 @@ FROM rgb GROUP BY 1, 2, 3
 """
 
 
+def q_jpeg_progressive_decode(spark, sf_dir):
+    """PROGRESSIVE (SOF2) 4:2:0 JPEG decode end-to-end — the other half
+    of crawled-web JPEGs: multi-scan spectral selection + successive
+    approximation (DC Al=1 → AC band scans → refinements), EOBRUN
+    coding, per-scan optimized Huffman tables, coefficients accumulated
+    across scans, then the same dequant/IDCT/upsample/YCbCr→RGB finish
+    as baseline. The oracle reproduces sum_luma analytically per 16×16
+    region exactly as the baseline 4:2:0 oracle does (the progressive
+    scan structure transmits identical coefficients), with this
+    fixture's shifted per-doc constants."""
+    from .operators import multimodal
+
+    media = multimodal.media_progressive_jpeg_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_JPEG_PROGRESSIVE_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + 4 * ((doc_id + 1) % 3) AS INTEGER) AS width,
+         CAST(16 + 4 * ((CAST(doc_id // 3 AS BIGINT) + 1) % 4) AS INTEGER) AS height,
+         CAST(3 * ((doc_id + 1) % 5) - 6 AS DOUBLE) AS dcb,
+         CAST(4 * ((CAST(doc_id // 5 AS BIGINT) + 2) % 5) - 8 AS DOUBLE) AS dcr
+  FROM documents),
+regions AS (
+  SELECT media_id, width, height, dcb, dcr, rx, ry,
+         CAST((2*rx + ry + media_id) % 256 AS DOUBLE) AS yv,
+         LEAST(16, width - 16*rx) AS rw,
+         LEAST(16, height - 16*ry) AS rh
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, CAST((width + 15) // 16 AS BIGINT) - 1)) AS rx),
+       LATERAL (SELECT unnest(generate_series(0, CAST((height + 15) // 16 AS BIGINT) - 1)) AS ry)),
+rgb AS (
+  SELECT media_id, width, height, rw, rh,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.402 * dcr))) AS BIGINT) AS r,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv - 0.344136 * dcb - 0.714136 * dcr))) AS BIGINT) AS g,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.772 * dcb))) AS BIGINT) AS b
+  FROM regions)
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(rw * rh * ((299*r + 587*g + 114*b) // 1000)) AS BIGINT) AS sum_luma
+FROM rgb GROUP BY 1, 2, 3
+"""
+
+
 def q_png_palette_decode(spark, sf_dir):
     """PALETTED (color type 3) PNG decode end-to-end — the icon/
     screenshot shape of crawled-web images: per-doc 16-entry PLTE,
@@ -4077,6 +4126,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
+    "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
