@@ -95,16 +95,29 @@ def build_pdf(
     pages: list[list[tuple]],
     page_size: tuple[float, float] = (612.0, 792.0),
     compress: bool = False,
+    xref_stream: bool = False,
 ) -> bytes:
-    """Construct a complete single-xref PDF with one content stream per page.
+    """Construct a complete PDF with one content stream per page.
 
     Object layout: 1=Catalog, 2=Pages, then per page i: (3+2i)=Page,
-    (4+2i)=Contents stream; last object = Font. Cross-reference table and
-    trailer are emitted correctly so any conforming reader accepts the file.
+    (4+2i)=Contents stream; last object = Font.
+
+    With ``xref_stream=False`` (default): a classic PDF 1.4 file — text
+    cross-reference table + trailer dictionary. With ``xref_stream=True``:
+    the PDF 1.5+ form most post-2004 files actually use — every
+    non-stream object (Catalog/Pages/Page/Font) is packed into a
+    Flate-compressed OBJECT STREAM (``/Type /ObjStm``, ISO 32000 §7.5.7:
+    "num offset" pair header + concatenated bodies) and the file ends
+    with a CROSS-REFERENCE STREAM (``/Type /XRef``, binary ``/W [1 4 2]``
+    columns: type-1 entries carry byte offsets, type-2 entries carry
+    (object-stream number, index)); the trailer dictionary lives in the
+    XRef stream's own dict. Either form is accepted by any conforming
+    reader and by :func:`parse_pdf` (EMIT==PARSE both ways).
     """
     w, h = page_size
     n_pages = len(pages)
     objs: dict[int, bytes] = {}
+    stream_objs: set[int] = set()
     font_num = 3 + 2 * n_pages
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -129,27 +142,84 @@ def build_pdf(
             + stream
             + b"\nendstream"
         )
+        stream_objs.add(cont_num)
     objs[font_num] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
 
-    buf = bytearray(b"%PDF-1.4\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
-        offsets[num] = len(buf)
-        buf += b"%d 0 obj\n" % num
-        buf += objs[num]
-        buf += b"\nendobj\n"
-    xref_off = len(buf)
-    n = max(objs) + 1
-    buf += b"xref\n0 %d\n" % n
-    buf += b"0000000000 65535 f \n"
-    for num in range(1, n):
-        buf += b"%010d 00000 n \n" % offsets[num]
-    buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-        n,
-        xref_off,
+    if not xref_stream:
+        buf = bytearray(b"%PDF-1.4\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(buf)
+            buf += b"%d 0 obj\n" % num
+            buf += objs[num]
+            buf += b"\nendobj\n"
+        xref_off = len(buf)
+        n = max(objs) + 1
+        buf += b"xref\n0 %d\n" % n
+        buf += b"0000000000 65535 f \n"
+        for num in range(1, n):
+            buf += b"%010d 00000 n \n" % offsets[num]
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n, xref_off)
+        )
+        return bytes(buf)
+
+    # ---- PDF 1.5 layout: object stream + cross-reference stream ----
+    objstm_num = font_num + 1
+    xref_num = font_num + 2
+    packed = sorted(n for n in objs if n not in stream_objs)
+    bodies = [objs[n] for n in packed]
+    pair_offsets: list[int] = []
+    pos = 0
+    for b in bodies:
+        pair_offsets.append(pos)
+        pos += len(b) + 1  # newline separator
+    header = " ".join(
+        f"{num} {off}" for num, off in zip(packed, pair_offsets)
+    ).encode()
+    stm_data = header + b"\n" + b"\n".join(bodies) + b"\n"
+    first = len(header) + 1
+    comp = zlib.compress(stm_data)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), first, len(comp))
+        + comp
+        + b"\nendstream"
     )
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(stream_objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(buf)
+    buf += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+    xref_off = len(buf)
+
+    size = xref_num + 1
+    entries = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in stream_objs or num == objstm_num:
+            t, f2, f3 = 1, offsets[num], 0
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_off, 0
+        else:  # packed into the object stream
+            t, f2, f3 = 2, objstm_num, packed.index(num)
+        entries += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xcomp = zlib.compress(bytes(entries))
+    buf += b"%d 0 obj\n" % xref_num
+    buf += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n" % (size, len(xcomp))
+        + xcomp
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(buf)
 
 
@@ -204,6 +274,129 @@ def _stream_bytes(body: bytes) -> bytes:
         except zlib.error as e:
             raise PdfParseError(f"bad Flate stream: {e}") from e
     return raw
+
+
+# ---- PDF 1.5 cross-reference streams + object streams (ISO 32000 §7.5) ----
+
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_NCOUNT_RE = re.compile(rb"/N\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
+    """Read ``N 0 obj ... endobj`` starting exactly at byte ``off``."""
+    m = _OBJ_RE.match(data, off)
+    if m is None:
+        return None
+    end = data.find(b"endobj", m.end())
+    if end == -1:
+        raise PdfParseError("object at xref offset missing endobj")
+    return int(m.group(1)), data[m.end() : end]
+
+
+def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
+    """Unpack a ``/Type /ObjStm`` object stream: ``/N`` pairs of
+    ``num offset`` in the header, object bodies concatenated after
+    ``/First``. Objects already present (from a newer xref section) are
+    not overwritten."""
+    sidx = body.find(b"stream")
+    head = body[:sidx] if sidx != -1 else body
+    nm = _NCOUNT_RE.search(head)
+    fm = _FIRST_RE.search(head)
+    if nm is None or fm is None:
+        raise PdfParseError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    raw = _stream_bytes(body)
+    nums = raw[:first].split()
+    if len(nums) < 2 * n:
+        raise PdfParseError("ObjStm pair header shorter than /N")
+    pairs = [
+        (int(nums[2 * i]), int(nums[2 * i + 1])) for i in range(n)
+    ]
+    for i, (num, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(raw) - first
+        objs.setdefault(num, raw[first + off : first + end].strip())
+
+
+def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
+    """Resolve objects through a PDF 1.5 CROSS-REFERENCE STREAM: follow
+    ``startxref`` to the ``/Type /XRef`` object, decode the ``/W``-column
+    binary entries (type 1 = byte offset, type 2 = (object stream,
+    index)), read type-1 objects at their recorded offsets and unpack
+    referenced object streams. Follows ``/Prev`` chains (older sections
+    never override newer entries). Returns ``None`` for classic files
+    (``startxref`` pointing at a text ``xref`` table) so the caller uses
+    the scan path instead."""
+    sx = data.rfind(b"startxref")
+    if sx == -1:
+        return None
+    m = _STARTXREF_RE.match(data, sx)
+    if m is None:
+        return None
+    off = int(m.group(1))
+    if data[off : off + 4] == b"xref":
+        return None  # classic cross-reference table
+    objs: dict[int, bytes] = {}
+    objstm_nums: list[int] = []
+    seen_sections: set[int] = set()
+    while True:
+        if off in seen_sections:
+            raise PdfParseError("circular /Prev chain in xref streams")
+        seen_sections.add(off)
+        at = _obj_at(data, off)
+        if at is None:
+            raise PdfParseError("startxref does not point at an object")
+        _num, body = at
+        sidx = body.find(b"stream")
+        head = body[:sidx] if sidx != -1 else body
+        if b"/Type /XRef" not in head and b"/Type/XRef" not in head:
+            raise PdfParseError("startxref object is not /Type /XRef")
+        wm, zm = _W_RE.search(head), _SIZE_RE.search(head)
+        if wm is None or zm is None:
+            raise PdfParseError("xref stream missing /W or /Size")
+        w1, w2, w3 = (int(wm.group(i)) for i in (1, 2, 3))
+        size = int(zm.group(1))
+        im = _INDEX_RE.search(head)
+        if im:
+            ix = [int(x) for x in im.group(1).split()]
+            ranges = list(zip(ix[0::2], ix[1::2]))
+        else:
+            ranges = [(0, size)]
+        raw = _stream_bytes(body)
+        rowlen = w1 + w2 + w3
+        pos = 0
+        for start, count in ranges:
+            for j in range(count):
+                num = start + j
+                row = raw[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    raise PdfParseError("truncated xref stream data")
+                t = int.from_bytes(row[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+                if t == 1 and num not in objs:
+                    at = _obj_at(data, f2)
+                    if at is None:
+                        raise PdfParseError(
+                            f"xref offset {f2} for object {num} is not an object"
+                        )
+                    objs[at[0]] = at[1]
+                elif t == 2:
+                    objstm_nums.append(f2)
+        pm = _PREV_RE.search(head)
+        if pm is None:
+            break
+        off = int(pm.group(1))
+    for sn in objstm_nums:
+        stm = objs.get(sn)
+        if stm is None:
+            raise PdfParseError(f"type-2 entry references missing ObjStm {sn}")
+        _expand_objstm(stm, objs)
+    return objs
 
 
 # master lexer: one compiled regex per token class, matched at position
@@ -421,7 +614,20 @@ def parse_pdf(data: bytes) -> list[dict]:
     """
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF header")
-    objs = _split_objects(data)
+    # PDF 1.5+ files resolve through the cross-reference stream (the form
+    # most post-2004 PDFs use); classic files — or files whose xref is
+    # damaged — fall back to the xref-independent object scan.
+    try:
+        objs = _objects_via_xref_stream(data)
+    except PdfParseError:
+        objs = None
+    if objs is None:
+        objs = _split_objects(data)
+    # Expand any object streams the scan path surfaced directly (packed
+    # Catalog/Pages/Page objects live inside them, invisible to _OBJ_RE).
+    for body in list(objs.values()):
+        if b"/Type /ObjStm" in body or b"/Type/ObjStm" in body:
+            _expand_objstm(body, objs)
     # Find the Pages node (has /Kids); fall back to scanning for /Type /Page.
     page_nums: list[int] = []
     for body in objs.values():

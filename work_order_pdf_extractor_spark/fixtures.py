@@ -107,7 +107,13 @@ def build_pdf_payload(
                 ("text", 40, 60, 9, "Page 2 of 2"),
             ]
         )
-    data = pdfparse.build_pdf(pages, (PAGE_W, PAGE_H), compress=compress)
+    # ~40% of payloads use the PDF 1.5 form (cross-reference stream +
+    # object streams) — the layout most post-2004 PDFs actually use —
+    # so the flagship pipeline and goldens exercise both parser paths
+    data = pdfparse.build_pdf(
+        pages, (PAGE_W, PAGE_H), compress=compress,
+        xref_stream=rng.random() < 0.4,
+    )
     if malformed == "truncate":
         data = data[: len(data) // 2]
     elif malformed == "header":
