@@ -2116,13 +2116,19 @@ WHERE rank <= 3
 """
 
 
-LSH_TOPK_BANDS = 4
-LSH_PLANES_PER_BAND = 4
+# Tuned r5 via tools/ann_sweep.py against the ann_recall gauge (table in
+# SCALE.md): 8 bands x 3 planes lifts recall@3 from 0.47/0.42 (old 4x4,
+# sf0.01/sf0.1) to 0.80/0.81 while the search gets FASTER (fewer planes
+# per band -> bigger per-band buckets -> fewer near-empty groups; 4.8s vs
+# 5.9s at sf0.1). 16x3 reaches 0.91 at ~1.5x the time — one knob away
+# when a pipeline needs it.
+LSH_TOPK_BANDS = 8
+LSH_PLANES_PER_BAND = 3
 
 
 def q_lsh_topk_banded(spark, sf_dir):
-    """Banded (multi-table) LSH top-k — the de-skewed ANN shape: 4
-    independent 4-plane hash tables; candidates collide in ANY band
+    """Banded (multi-table) LSH top-k — the de-skewed ANN shape: 8
+    independent 3-plane hash tables; candidates collide in ANY band
     (OR-construction), so no single bucket needs to be big for recall and
     per-(band, bucket) join work stays 2^r-bounded. This is the 100-TB
     answer to the single-table hot-bucket risk."""
