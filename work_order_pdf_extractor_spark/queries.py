@@ -4116,19 +4116,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # "pending" (changed since their last green driver row, per content
     # fingerprint over fn + oracle + dependency-module closure). Every
     # pending query MUST sit in this first block; tests/test_attestation
-    # enforces it against the committed ATTESTATION.json.
+    # enforces it against the committed ATTESTATION.json. This block was
+    # regenerated programmatically from the manifest (pending first, then
+    # attested by ascending attested_round so the stalest attestations
+    # refresh in the window spill-over slots).
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
-    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
-    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
-    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
@@ -4136,39 +4129,24 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
-    "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "countmin": (q_countmin, SQL_COUNTMIN),
     "dedup_near_materialize": (q_dedup_near_materialize, SQL_DEDUP_NEAR),
     "embedding_near_pairs": (q_embedding_near_pairs, SQL_EMBEDDING_NEAR),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "cosine_topk_fast": (q_cosine_topk_fast, SQL_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
-    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "lsh_topk_banded": (q_lsh_topk_banded, SQL_LSH_TOPK_BANDED),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "minhash_lsh_dfcut": (q_minhash_lsh_dfcut, SQL_MINHASH_LSH_DFCUT),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
-    "langid": (q_langid, SQL_LANGID),
-    "quality_score": (q_quality_score, SQL_QUALITY),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jpeg_color_decode": (q_jpeg_color_decode, SQL_JPEG_COLOR_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
-    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
@@ -4181,24 +4159,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fluency_score": (q_fluency_score, SQL_FLUENCY),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    # -- attested at their fingerprints; window spill-over re-attests ----
+    # -- attested, longest-unrefreshed first (spill-over re-attests) ----
     "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
-    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
-    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
-    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
-    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
-    "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
-    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
-    "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
-    "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
     "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
     "page_split": (q_page_split, SQL_PAGE_SPLIT),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
@@ -4232,4 +4198,41 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
     "base64_funcs": (q_base64_funcs, SQL_BASE64_FUNCS),
     "format_number": (q_format_number, SQL_FORMAT_NUMBER),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
+    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
+    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
+    "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
+    "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "cosine_topk_fast": (q_cosine_topk_fast, SQL_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "langid": (q_langid, SQL_LANGID),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
 }

@@ -19,10 +19,17 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — used by the
+    multi-JVM scaling protocol (``local-cluster[n,cores,mem]``: separate
+    executor JVM processes on this box, the closest sandbox analog of
+    N-executor cluster scaling). ``cores`` still sizes shuffle/scan
+    partitioning (pass total cores across executors)."""
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
     b = (
