@@ -2315,6 +2315,55 @@ WHERE rank <= 3
 """
 
 
+IVF_NPROBE = 2
+
+
+def q_ivf_topk_nprobe(spark, sf_dir):
+    """IVF top-k with MULTI-CELL probing (nprobe=2) — the recall lever
+    the single-cell ivf_topk leaves on the table: the corpus stays in
+    its rank-1 cells, each query additionally searches its 2nd-nearest
+    cell, so a true neighbor lost to a cell boundary is recovered while
+    per-query work stays nprobe x N/K. Recall@3 measured by the
+    ann_recall gauge: 0.31 (nprobe=1) -> see SCALE.md for the swept
+    curve. Within-cell scoring is the chunked-numpy roles scorer
+    (operators/ann_tuning.py), never a pair materialization."""
+    from .operators import ann_tuning
+
+    return ann_tuning.ivf_topk_nprobe(
+        ld(spark, sf_dir, "embeddings"), k=3, nprobe=IVF_NPROBE,
+        centroids=_trained_ivf_centroids(spark, sf_dir),
+    )
+
+
+SQL_IVF_TOPK_NPROBE = f"""
+WITH {_SQL_IVF_ASSIGN_CTE},
+probes AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY centroid_sim DESC, centroid_id) <= {IVF_NPROBE}),
+withc AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+withq AS (
+  SELECT e.vec_id, e.embedding, p.centroid_id
+  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS sim
+  FROM withq q JOIN withc c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id)
+SELECT qid, nid, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
+
+
 # ===========================================================================
 # Text analysis (documents)
 # ===========================================================================
@@ -4128,6 +4177,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
+    "ivf_topk_nprobe": (q_ivf_topk_nprobe, SQL_IVF_TOPK_NPROBE),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_materialize": (q_dedup_materialize, SQL_DEDUP_MATERIALIZE),
