@@ -597,6 +597,149 @@ def connected_components(
     )
 
 
+def positioned_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, pos, shingle)`` — every n-word shingle WITH its start
+    position, NOT deduplicated: the input for span-level analyses
+    (repeated-span audit) where :func:`word_shingles`'s set semantics
+    would lose the positions. Same JVM-side split + sequence/explode
+    plan shape."""
+    words = ensure_parallelism(
+        df.select(id_col, F.split(text_col, " ").alias("ws"))
+    )
+    sz = F.size("ws")
+    idx = F.sequence(F.lit(0), sz - n)
+    sh = words.filter(sz >= n).select(
+        id_col, F.explode(idx).alias("pos"), "ws"
+    )
+    parts = [F.col("ws")[F.col("pos") + k] for k in range(n)]
+    return sh.select(
+        id_col, "pos", F.concat_ws(" ", *parts).alias("shingle")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-span audit (the memorization-hazard metric behind
+    substring-level training-data dedup, Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    how many of its tokens are covered by an n-gram that occurs at
+    least ``min_count`` times in the whole corpus (cross-document
+    duplication AND within-document boilerplate both count — each is a
+    span a model can memorize verbatim). Output:
+    ``(id, n_tokens, n_repeated_tokens, repeated_frac)``.
+
+    Plan shape at 100 TB: positioned shingles explode once; the
+    occurrence count is a map-side-combined groupBy on the shingle (a
+    constant-size key — raw text never shuffles beyond n words); the
+    semi-join back reuses that partitioning; coverage is a bounded
+    ``sequence(pos, pos+n-1)`` explode over only the REPEATED shingles
+    (rare by construction in a clean corpus) followed by a distinct +
+    count per doc. No pairs ever materialize — this audits span mass,
+    not pair identity, which is what makes it linear where full
+    substring dedup needs suffix arrays."""
+    sh = positioned_shingles(df, n, text_col, id_col)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("shingle")
+    )
+    rep = sh.join(hot, "shingle", "left_semi")
+    covered = (
+        rep.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_repeated_tokens"))
+    )
+    toks = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    return toks.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_repeated_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_repeated_tokens"),
+        F.round(
+            F.coalesce("n_repeated_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("repeated_frac"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment ``|A∩B| / |A|`` ≥
+    threshold — the quote/subset detector Jaccard misses (a short doc
+    fully quoted inside a long one scores near-zero Jaccard but
+    containment 1.0; classic Broder resemblance-vs-containment).
+    Output: ``(doc1, doc2, containment)`` where ``doc1`` is the
+    CONTAINED document, both directions of every pair considered.
+
+    Same candidate discipline as :func:`ngram_jaccard_pairs`: pass
+    ``candidates`` (e.g. LSH pairs) at scale so the intersection join is
+    restricted; the all-pairs self-join fallback is for small corpora
+    and golden checks."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, n, text_col, id_col)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if candidates is not None:
+        c = candidates.select("doc1", "doc2")
+        both = c.unionByName(
+            c.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+        ).distinct()
+        s1 = sh.select(F.col(id_col).alias("doc1"), "shingle")
+        s2 = sh.select(F.col(id_col).alias("doc2"), "shingle")
+        common = (
+            both.join(s1, "doc1")
+            .join(s2, ["doc2", "shingle"])
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc1"),
+                F.col(f"b.{id_col}").alias("doc2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    return (
+        common.join(sa, "doc1")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n1"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc1", "doc2", "containment")
+    )
+
+
 def deduplicate_near(
     df: DataFrame,
     n: int = 3,

@@ -1265,6 +1265,69 @@ WHERE ROUND(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.6
 """
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Repeated-span audit (substring-dedup / memorization-hazard
+    metric): per document, the count and fraction of tokens covered by
+    a 3-gram occurring >= 2 times anywhere in the corpus — cross-doc
+    duplication and within-doc boilerplate both count. Linear plan
+    (positioned shingles -> occurrence groupBy on the constant-size
+    shingle key -> semi-join back -> bounded coverage explode); audits
+    span MASS without the pair materialization full substring dedup
+    needs."""
+    from .operators import dedup
+
+    return dedup.repeated_spans(ld(spark, sf_dir, "documents"), n=3, min_count=2)
+
+
+SQL_REPEATED_SPANS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+psh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+  WHERE len(ws) >= 3),
+hot AS (SELECT shingle FROM psh GROUP BY shingle HAVING COUNT(*) >= 2),
+rep AS (SELECT psh.doc_id, psh.pos FROM psh JOIN hot USING (shingle)),
+cov AS (SELECT DISTINCT doc_id, p
+        FROM rep, LATERAL (SELECT unnest(generate_series(pos, pos+2)) AS p)),
+nrep AS (SELECT doc_id, COUNT(*) AS n_repeated_tokens FROM cov GROUP BY doc_id),
+toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT t.doc_id, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(n.n_repeated_tokens, 0) AS BIGINT) AS n_repeated_tokens,
+       ROUND(COALESCE(n.n_repeated_tokens, 0) / t.n_tokens, 6) AS repeated_frac
+FROM toks t LEFT JOIN nrep n ON t.doc_id = n.doc_id
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| >= 0.8 over 3-gram shingles —
+    the quote/subset detector symmetric Jaccard misses (a short doc
+    fully quoted in a long one: Jaccard ~0, containment 1.0; Broder's
+    resemblance-vs-containment distinction). doc1 = the contained side;
+    both directions considered. At scale the intersection join runs on
+    LSH candidates (the candidates= parameter), same discipline as the
+    Jaccard verify."""
+    from .operators import dedup
+
+    return dedup.containment_pairs(
+        ld(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc1, doc2, ROUND(n_common / s.n_sh, 6) AS containment
+FROM common JOIN sizes s ON doc1 = s.doc_id
+WHERE ROUND(n_common / s.n_sh, 6) >= 0.8
+"""
+
+
 N_MINHASH = 8
 LSH_BANDS = 4  # 2 rows per band
 
@@ -4189,6 +4252,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lsh_topk_banded": (q_lsh_topk_banded, SQL_LSH_TOPK_BANDED),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "minhash_lsh_dfcut": (q_minhash_lsh_dfcut, SQL_MINHASH_LSH_DFCUT),
+    "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
