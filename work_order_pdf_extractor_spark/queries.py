@@ -3879,10 +3879,17 @@ def q_ann_recall(spark, sf_dir):
             (F.col("hit_rows") / F.col("exact_rows")).alias("recall"),
         )
 
+    from .operators import ann_tuning
+
+    ivf_np = ann_tuning.ivf_topk_nprobe(
+        emb, k=3, nprobe=IVF_NPROBE,
+        centroids=_trained_ivf_centroids(spark, sf_dir),
+    )
     return (
         one("lsh_banded", exact_cos, banded)
         .unionAll(one("lsh_salted", exact_cos, salted))
         .unionAll(one("ivf", exact_cos, ivf))
+        .unionAll(one("ivf_nprobe2", exact_cos, ivf_np))
         .unionAll(one("pq_adc", exact_l2, pq_res))
     )
 
@@ -3930,6 +3937,8 @@ lshs AS (SELECT qid, nid FROM ({SQL_LSH_TOPK})
          WHERE qid < {ANN_RECALL_Q}),
 ivfr AS (SELECT qid, nid FROM ({SQL_IVF_TOPK})
          WHERE qid < {ANN_RECALL_Q}),
+ivfnp AS (SELECT qid, nid FROM ({SQL_IVF_TOPK_NPROBE})
+         WHERE qid < {ANN_RECALL_Q}),
 pqr AS (SELECT qid, nid FROM ({SQL_PQ_TOPK})),
 counts AS (
   SELECT 'lsh_banded' AS method,
@@ -3946,6 +3955,11 @@ counts AS (
          (SELECT COUNT(*) FROM exact_cos),
          (SELECT COUNT(*) FROM exact_cos e
           JOIN ivfr a ON e.qid = a.qid AND e.nid = a.nid)
+  UNION ALL
+  SELECT 'ivf_nprobe2',
+         (SELECT COUNT(*) FROM exact_cos),
+         (SELECT COUNT(*) FROM exact_cos e
+          JOIN ivfnp a ON e.qid = a.qid AND e.nid = a.nid)
   UNION ALL
   SELECT 'pq_adc',
          (SELECT COUNT(*) FROM exact_l2),
