@@ -238,3 +238,52 @@ def test_dsir_stats_join_is_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_plan_is_linear(spark):
+    """The span audit must never form a pair join: no cartesian/BNLJ
+    anywhere, and the only exchanges carry the n-word shingle key or
+    doc-level aggregates — the full document text appears in no
+    Exchange."""
+    from work_order_pdf_extractor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.repeated_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "text#" in ln:
+            raise AssertionError(f"document text enters a shuffle: {ln}")
+
+
+def test_ivf_nprobe_plan_shapes(spark):
+    """nprobe search: no cartesian product and no sort-merge join
+    anywhere; the two centroid-scoring joins are DELIBERATE broadcast
+    nested-loops against the K-row model (a keyless cross vs 8 rows is
+    the O(rows×K) plan, same as ivf_assign — exactly two, never more);
+    the id-keyed vector joins are broadcast hash joins; the cell scorer
+    is a single grouped-map stage."""
+    from work_order_pdf_extractor_spark.operators import ann_tuning, similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    trained = similarity.ivf_centroids(emb, 8, 2)
+    cents = spark.createDataFrame(trained.collect(), trained.schema)
+    plan = _plan(ann_tuning.ivf_topk_nprobe(emb, k=3, nprobe=2, centroids=cents))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the K-row model joins
+    assert "FlatMapGroupsInPandas" in plan  # the roles scorer
+    assert "BroadcastHashJoin" in plan  # id-keyed vector joins
+
+
+def test_df_cut_reuses_shingle_partitioning(spark):
+    """The df-cut's count + semi-join both key on the shingle: the plan
+    must not add a cartesian or nested-loop join, and the cut stays a
+    hash semi-join."""
+    from work_order_pdf_extractor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_pairs(docs, max_df=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
