@@ -108,3 +108,48 @@ def test_normalize_key_idempotent(s):
 def test_fence_strip_inverts_wrap(body):
     assert strip_markdown_fence(f"```json\n{body}\n```") == body
     assert strip_markdown_fence(body) == body
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(pdf_text, min_size=1, max_size=4),
+    compress=st.booleans(),
+)
+def test_xref_stream_layout_parse_parity(texts, compress):
+    """Property (r5): ANY document emitted in the classic xref-table
+    layout and the PDF 1.5 xref-stream/ObjStm layout parses to identical
+    positioned tokens — the EMIT==PARSE contract holds across layouts,
+    not just on the hand-picked fixtures."""
+    pages = [
+        [("text", 40 + 7 * i, 700 - 20 * i, 10, t)]
+        for i, t in enumerate(texts)
+    ]
+    classic = pdfparse.build_pdf(pages, compress=compress)
+    modern = pdfparse.build_pdf(pages, compress=compress, xref_stream=True)
+    assert pdfparse.parse_pdf(classic) == pdfparse.parse_pdf(modern)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**31 - 1),
+    lossy=st.booleans(),
+)
+def test_progressive_decode_equals_baseline_property(w, h, seed, lossy):
+    """Property (r5): progressive (SOF2) and baseline encodings of the
+    SAME samples decode to bit-identical pixels for arbitrary content,
+    size, and quant table — the scan machinery only reorders coefficient
+    bits, never changes them."""
+    import numpy as np
+
+    from work_order_pdf_extractor_spark.core import jpegcodec as J
+
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(0, 256, size=w * h).tolist()
+    quant = J.STD_LUMA_QUANT if lossy else None
+    base = J.decode_baseline(J.encode_baseline_gray(w, h, samples, quant=quant))
+    prog = J.decode_baseline(
+        J.encode_progressive_gray(w, h, samples, quant=quant)
+    )
+    assert base == prog
