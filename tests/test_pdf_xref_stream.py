@@ -139,6 +139,65 @@ def test_prev_chain_never_overrides_newer_entries():
     assert P.parse_pdf(base)[0]["tokens"][0][0] == "old text"
 
 
+def test_newer_type2_entry_shadows_older_type1():
+    # r5 review finding (confirmed): an incremental update whose NEWEST
+    # xref stream maps an object as type-2 into a new ObjStm must shadow
+    # the older section's type-1 entry for the same object — the parser
+    # must return the NEW body, not the stale one
+    import re
+
+    base = P.build_pdf([[("text", 50, 700, 12, "old text")]], xref_stream=True)
+    sx = base.rfind(b"startxref")
+    old_off = int(re.search(rb"startxref\s+(\d+)", base[sx:]).group(1))
+    buf = bytearray(base[:sx])
+    # the update packs a REPLACEMENT content stream... content streams
+    # can't live in an ObjStm, so replace the PAGE object (3) instead,
+    # pointing at a new content stream object 9
+    new_stream = b"BT\n/F1 12 Tf\n1 0 0 1 50 700 Tm\n(new text) Tj\nET"
+    off9 = len(buf)
+    buf += (
+        b"9 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    page_body = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 9 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    header = b"3 0"
+    stm_data = header + b"\n" + page_body + b"\n"
+    comp = zlib.compress(stm_data)
+    off10 = len(buf)
+    buf += (
+        b"10 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(header) + 1, len(comp))
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(buf)
+    rows = [
+        (3, bytes([2]) + (10).to_bytes(4, "big") + (0).to_bytes(2, "big")),
+        (9, bytes([1]) + off9.to_bytes(4, "big") + (0).to_bytes(2, "big")),
+        (10, bytes([1]) + off10.to_bytes(4, "big") + (0).to_bytes(2, "big")),
+        (11, bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")),
+    ]
+    entries = b"".join(r for _n, r in rows)
+    xcomp = zlib.compress(entries)
+    buf += b"11 0 obj\n"
+    buf += (
+        b"<< /Type /XRef /Size 12 /W [1 4 2] /Index [3 1 9 3] /Root 1 0 R "
+        b"/Prev %d /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (old_off, len(xcomp))
+        + xcomp
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    pages = P.parse_pdf(bytes(buf))
+    assert pages[0]["tokens"][0][0] == "new text"
+    # and the original still reads its own text
+    assert P.parse_pdf(base)[0]["tokens"][0][0] == "old text"
+
+
 def test_pipeline_extracts_from_xref_stream_payloads(spark):
     # end-to-end: a transcript whose PDF payload uses the 1.5 layout
     # flows through the extraction pipeline like any classic payload

@@ -254,16 +254,29 @@ def _rounds() -> list[tuple[int, str, dict]]:
         path = f"CORRECTNESS_r{r:02d}.json"
         if not os.path.exists(os.path.join(REPO, path)):
             break
-        # Most recent commit touching the report (an amended/re-added report
-        # must key to the tree the driver actually tested, not the first-add
-        # commit); an untracked or locally-modified report falls back to the
-        # working tree (rev None) — the driver runs against a clean checkout,
-        # so at round start the working tree IS the tested code.
-        commits = _git("log", "--format=%H", "--", path).splitlines()
-        dirty = bool(
-            _git("status", "--porcelain", "--", path).strip()
-        )
-        commits = [] if dirty else commits
+        # Key the round to the NEWEST commit whose committed report blob
+        # equals the on-disk report — the tree and the report content are
+        # then guaranteed to come from the same commit (an amended or
+        # re-added report keys to its re-add, never to a stale first-add
+        # tree; a formatting edit can shift the key but can never pair
+        # this content with a tree that doesn't contain it). An untracked
+        # or locally-modified report matches no commit and falls back to
+        # the working tree (rev None) — the driver runs against a clean
+        # checkout, so at round start the working tree IS the tested code.
+        with open(os.path.join(REPO, path), "rb") as f:
+            disk = f.read()
+        commits = []
+        for c in _git("log", "--format=%H", "--", path).splitlines():
+            try:
+                blob = subprocess.run(
+                    ["git", "show", f"{c}:{path}"],
+                    cwd=REPO, check=True, capture_output=True,
+                ).stdout
+            except subprocess.CalledProcessError:
+                continue
+            if blob == disk:
+                commits = [c]
+                break
         with open(os.path.join(REPO, path), encoding="utf-8") as f:
             rows = json.load(f)
         green = {

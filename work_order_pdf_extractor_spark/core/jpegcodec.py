@@ -1331,6 +1331,10 @@ def _decode_prog_scan(
                                 rn -= 1
                             k += 1
                         if val:
+                            if k > se:
+                                raise ValueError(
+                                    "AC refinement run past band end"
+                                )
                             zz[k] = val
                         k += 1
                 if eobrun > 0:

@@ -298,11 +298,10 @@ def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
     return int(m.group(1)), data[m.end() : end]
 
 
-def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
-    """Unpack a ``/Type /ObjStm`` object stream: ``/N`` pairs of
-    ``num offset`` in the header, object bodies concatenated after
-    ``/First``. Objects already present (from a newer xref section) are
-    not overwritten."""
+def _parse_objstm(body: bytes) -> dict[int, bytes]:
+    """Parse a ``/Type /ObjStm`` object stream into ``{num: body}``:
+    ``/N`` pairs of ``num offset`` in the header, object bodies
+    concatenated after ``/First``."""
     sidx = body.find(b"stream")
     head = body[:sidx] if sidx != -1 else body
     nm = _NCOUNT_RE.search(head)
@@ -314,12 +313,22 @@ def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
     nums = raw[:first].split()
     if len(nums) < 2 * n:
         raise PdfParseError("ObjStm pair header shorter than /N")
-    pairs = [
-        (int(nums[2 * i]), int(nums[2 * i + 1])) for i in range(n)
-    ]
+    try:
+        pairs = [(int(nums[2 * i]), int(nums[2 * i + 1])) for i in range(n)]
+    except ValueError as e:
+        raise PdfParseError(f"bad ObjStm pair header: {e}") from e
+    out: dict[int, bytes] = {}
     for i, (num, off) in enumerate(pairs):
         end = pairs[i + 1][1] if i + 1 < n else len(raw) - first
-        objs.setdefault(num, raw[first + off : first + end].strip())
+        out[num] = raw[first + off : first + end].strip()
+    return out
+
+
+def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
+    """Unpack an object stream into ``objs``. Objects already present
+    (from a newer xref section) are not overwritten."""
+    for num, b in _parse_objstm(body).items():
+        objs.setdefault(num, b)
 
 
 def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
@@ -341,7 +350,13 @@ def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
     if data[off : off + 4] == b"xref":
         return None  # classic cross-reference table
     objs: dict[int, bytes] = {}
-    objstm_nums: list[int] = []
+    # an entry in a NEWER section shadows every older one, whatever its
+    # type: type-1 resolves immediately; type-2 reserves the number as a
+    # placeholder into its object stream (resolved after the chain walk,
+    # so an older section's type-1 can never claim it); type-0 (free)
+    # claims the number as deleted
+    claimed: set[int] = set()
+    placeholders: dict[int, int] = {}  # num -> objstm num
     seen_sections: set[int] = set()
     while True:
         if off in seen_sections:
@@ -362,7 +377,10 @@ def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
         size = int(zm.group(1))
         im = _INDEX_RE.search(head)
         if im:
-            ix = [int(x) for x in im.group(1).split()]
+            try:
+                ix = [int(x) for x in im.group(1).split()]
+            except ValueError as e:
+                raise PdfParseError(f"bad /Index array: {e}") from e
             ranges = list(zip(ix[0::2], ix[1::2]))
         else:
             ranges = [(0, size)]
@@ -378,7 +396,10 @@ def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
                     raise PdfParseError("truncated xref stream data")
                 t = int.from_bytes(row[:w1], "big") if w1 else 1
                 f2 = int.from_bytes(row[w1 : w1 + w2], "big")
-                if t == 1 and num not in objs:
+                if num in claimed:
+                    continue  # a newer section already decided this num
+                claimed.add(num)
+                if t == 1:
                     at = _obj_at(data, f2)
                     if at is None:
                         raise PdfParseError(
@@ -386,16 +407,22 @@ def _objects_via_xref_stream(data: bytes) -> dict[int, bytes] | None:
                         )
                     objs[at[0]] = at[1]
                 elif t == 2:
-                    objstm_nums.append(f2)
+                    placeholders[num] = f2
+                # t == 0: free — the number stays claimed-but-absent
         pm = _PREV_RE.search(head)
         if pm is None:
             break
         off = int(pm.group(1))
-    for sn in objstm_nums:
+    parsed_stms: dict[int, dict[int, bytes]] = {}
+    for num, sn in placeholders.items():
         stm = objs.get(sn)
         if stm is None:
             raise PdfParseError(f"type-2 entry references missing ObjStm {sn}")
-        _expand_objstm(stm, objs)
+        if sn not in parsed_stms:
+            parsed_stms[sn] = _parse_objstm(stm)
+        if num not in parsed_stms[sn]:
+            raise PdfParseError(f"ObjStm {sn} does not contain object {num}")
+        objs[num] = parsed_stms[sn][num]
     return objs
 
 

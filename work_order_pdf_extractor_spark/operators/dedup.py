@@ -67,12 +67,13 @@ def deduplicate_exact(
 
 
 
-def df_cut_shingles(
-    sh: DataFrame, max_df: int, id_col: str = "doc_id"
-) -> DataFrame:
+def df_cut_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df`` — the
     standard MinHashLSH hygiene against stop phrases (SCALE.md's
     top-frequency-shingle hazard, now code instead of prose).
+
+    ``sh`` must be distinct per (id, shingle) — the :func:`word_shingles`
+    contract — since the frequency is a plain row count per shingle.
 
     Why it matters at 100 TB: a boilerplate phrase shared by millions of
     documents otherwise dominates their MinHash signatures, funnels them
@@ -128,7 +129,7 @@ def ngram_jaccard_pairs(
         else word_shingles(df, n, text_col, id_col)
     )
     if max_df is not None:
-        sh = df_cut_shingles(sh, max_df, id_col)
+        sh = df_cut_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         c = candidates.select("doc1", "doc2")
@@ -253,7 +254,7 @@ def minhash_lsh_pairs(
         else word_shingles(df, n, text_col, id_col)
     )
     if max_df is not None:
-        sh = df_cut_shingles(sh, max_df, id_col)
+        sh = df_cut_shingles(sh, max_df)
     sig = minhash_signatures(df, n_hashes, n, text_col, id_col, shingles=sh)
     allb = band_buckets(sig, n_hashes, bands, id_col)
     a, b_ = allb.alias("a"), allb.alias("b")
@@ -515,11 +516,14 @@ def connected_components(
     Ids must be numeric (castable to long): the label algebra is min()
     over ids. A non-numeric string id would cast to NULL and silently
     drop edges, so the cast is guarded — any null-producing cast raises."""
+    # checkpoint the cast edges ONCE so the (typically expensive) upstream
+    # candidate-pair pipeline is never evaluated twice: both the null-cast
+    # guard and the star loop read the checkpointed table
     ecast = edges.select(
         F.col("doc1").cast("long").alias("u"),
         F.col("doc2").cast("long").alias("v"),
         (F.col("doc1").isNotNull() & F.col("doc2").isNotNull()).alias("_nn"),
-    )
+    ).localCheckpoint(eager=True)
     bad = ecast.filter(
         F.col("_nn") & (F.col("u").isNull() | F.col("v").isNull())
     ).first()

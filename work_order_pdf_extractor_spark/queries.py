@@ -4037,7 +4037,10 @@ def q_incremental_ingest(spark, sf_dir):
     (work_order_extractor.py:1769-1797). Batch fixture: every 5th doc;
     multiples of 10 arrive verbatim (exact dups when their base is in
     the corpus), the others carry one appended token (near dups of
-    their base at 3-gram Jaccard (W-2)/(W-1))."""
+    their base at 3-gram Jaccard (W-2)/(W-1)). The plan's persisted
+    shingle tables intentionally live for the session here (one harness
+    invocation per driver run); repeated callers pass persisted_out and
+    unpersist — see plans/ingest.py."""
     from .plans import ingest
 
     docs = ld(spark, sf_dir, "documents")
@@ -4146,7 +4149,10 @@ def q_ingest_merge(spark, sf_dir):
     plan: disposition feeds the merge via a semi-join; the merge is one
     full-outer join on the key (bucket-co-locatable at scale, see
     plans/bucketing.py); the Bloom rebuild is the same map-side-combined
-    ``bit_or`` aggregate the prefilter uses."""
+    ``bit_or`` aggregate the prefilter uses. As with
+    ``incremental_ingest``, the inner plan's persisted shingle tables
+    live for the session in this one-shot harness shape; repeated
+    callers pass persisted_out and unpersist."""
     from .operators.membership import K_DEFAULT, M_BITS_DEFAULT, bloom_build
     from .plans import ingest
 
