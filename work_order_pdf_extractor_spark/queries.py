@@ -4242,6 +4242,275 @@ SELECT * FROM actions UNION ALL SELECT * FROM meta
 """
 
 
+# ===========================================================================
+# Round-5 additions: Adam7 PNG, bigram LM, weighted sampling, LSH pair
+# quality gauge, retention cohorts, per-language quality gate
+# ===========================================================================
+
+def q_png_adam7_decode(spark, sf_dir):
+    """ADAM7-INTERLACED PNG decode end-to-end — the last PNG shape a
+    crawled corpus hits that the non-interlaced decoder rejects: seven
+    independently-filtered passes deinterlaced back to the full raster
+    (operators/adam7.py; reference analog: poppler renders anything,
+    work_order_extractor.py:1121-1146). ``pos_sum`` weights each luma by
+    its raster position, so the oracle checks pixel PLACEMENT — a
+    deinterlacer that lands right pixels in wrong places keeps sum_luma
+    but breaks pos_sum."""
+    from .operators import adam7
+
+    media = adam7.media_png_adam7_from_documents(ld(spark, sf_dir, "documents"))
+    return adam7.image_features_adam7(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma", "pos_sum"
+    )
+
+
+SQL_PNG_ADAM7_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(5 + doc_id % 12 AS INTEGER) AS width,
+         CAST(5 + (doc_id // 12) % 9 AS INTEGER) AS height
+  FROM documents),
+px AS (
+  SELECT media_id, width, height, x, y, (3*x + 2*y + media_id) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y))
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_luma,
+       CAST(SUM(v * (y * width + x + 1)) AS BIGINT) AS pos_sum
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score per document (the
+    CCNet/KenLM gate, Spark-first): the "model" is two count tables built
+    with one groupBy each; scoring is a join back onto them. Integer-
+    scaled add-one-smoothed conditionals (same cross-engine-exact trick
+    as dsir_weights) instead of float log-probs."""
+    from .operators import lm
+
+    return lm.bigram_lm_score(ld(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                     t -> t <> '') AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+uni AS (SELECT w1, COUNT(*) AS c1
+        FROM (SELECT unnest(ts) AS w1 FROM toks) GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+v AS (SELECT COUNT(*) AS vsize FROM uni),
+part AS (
+  SELECT bg.doc_id, ((big.c12 + 1) * 1000000) // (uni.c1 + v.vsize) AS part
+  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+scored AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(part) AS lm_score
+           FROM part GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.lm_score, 0) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+WS_TICKET_K = 50  # weighted-sample output size
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement via ticket
+    replication (integer-exact A-RES: a document with weight w holds w
+    hash tickets and competes with its best one — min of w iid uniforms,
+    the bottom-k weighted sketch). Weight = 1 + min(n_chars // 400, 7).
+    Everything stays in 64-bit md5-derived integers, so Spark and DuckDB
+    agree bit-for-bit where float u^(1/w) keys could ulp-flip near ties;
+    the final top-k is TakeOrderedAndProject — per-partition top-k, O(k)
+    on the driver."""
+    from .operators.common import stable_hash64
+
+    docs = ld(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.least(F.floor(F.col("n_chars") / 400), F.lit(7))).cast(
+        "int"
+    )
+    tickets = (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.col("w"))))
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            stable_hash64(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("i").cast("string")
+                )
+            ).alias("k"),
+        )
+    )
+    return (
+        tickets.groupBy("doc_id", "lang", "w")
+        .agg(F.min("k").alias("best_ticket"))
+        .orderBy("best_ticket", "doc_id")
+        .limit(WS_TICKET_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(1 + least(n_chars // 400, 7) AS INTEGER) AS w
+  FROM documents),
+tick AS (
+  SELECT doc_id, lang, w,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS k
+  FROM t, LATERAL (SELECT unnest(generate_series(1, w)) AS i))
+SELECT doc_id, lang, w, MIN(k) AS best_ticket
+FROM tick GROUP BY 1, 2, 3
+ORDER BY best_ticket, doc_id LIMIT {WS_TICKET_K}
+"""
+
+
+def q_lsh_pair_quality(spark, sf_dir):
+    """Candidate-quality gauge for the dedup family (the ann_recall
+    analog): MinHash-LSH candidate pairs vs the EXACT Jaccard ≥ 0.6
+    ground truth, as integer tp/fp/missed counts plus integer recall/
+    precision percentages. The exact truth is exhaustive for τ > 0
+    because any pair with positive Jaccard shares a shingle — the
+    inverted-index join IS the full pair set, no quadratic scan. One
+    shingle table is persisted and shared by both branches (same pattern
+    as dedup_near_materialize)."""
+    from .operators import dedup
+    from .operators.common import word_shingles
+
+    docs = ld(spark, sf_dir, "documents")
+    sh = word_shingles(docs).persist()
+    cand = (
+        dedup.minhash_lsh_pairs(docs, N_MINHASH, LSH_BANDS, shingles=sh)
+        .select("doc1", "doc2")
+        .withColumn("c", F.lit(1))
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6, shingles=sh)
+        .select("doc1", "doc2")
+        .withColumn("t", F.lit(1))
+    )
+    u = cand.join(truth, ["doc1", "doc2"], "full").select(
+        F.coalesce("c", F.lit(0)).alias("c"), F.coalesce("t", F.lit(0)).alias("t")
+    )
+    agg = u.agg(
+        F.sum("c").alias("n_candidates"),
+        F.sum("t").alias("n_truth"),
+        F.sum(F.col("c") * F.col("t")).alias("tp"),
+    )
+    return agg.select(
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("tp").cast("long").alias("tp"),
+        F.expr("CAST(n_candidates - tp AS BIGINT)").alias("fp"),
+        F.expr("CAST(n_truth - tp AS BIGINT)").alias("n_missed"),
+        F.expr("CAST((100 * tp) div nullif(n_truth, 0) AS BIGINT)").alias(
+            "recall_pct"
+        ),
+        F.expr("CAST((100 * tp) div nullif(n_candidates, 0) AS BIGINT)").alias(
+            "precision_pct"
+        ),
+    )
+
+
+SQL_LSH_PAIR_QUALITY = f"""
+WITH cand AS ({SQL_MINHASH_LSH}),
+truth AS (SELECT doc1, doc2 FROM ({SQL_NGRAM_JACCARD})),
+u AS (
+  SELECT CASE WHEN c.doc1 IS NOT NULL THEN 1 ELSE 0 END AS c,
+         CASE WHEN t.doc1 IS NOT NULL THEN 1 ELSE 0 END AS t
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.doc1 = t.doc1 AND c.doc2 = t.doc2)
+SELECT CAST(SUM(c) AS BIGINT) AS n_candidates,
+       CAST(SUM(t) AS BIGINT) AS n_truth,
+       CAST(SUM(c * t) AS BIGINT) AS tp,
+       CAST(SUM(c) - SUM(c * t) AS BIGINT) AS fp,
+       CAST(SUM(t) - SUM(c * t) AS BIGINT) AS n_missed,
+       CAST((100 * SUM(c * t)) // NULLIF(SUM(t), 0) AS BIGINT) AS recall_pct,
+       CAST((100 * SUM(c * t)) // NULLIF(SUM(c), 0) AS BIGINT) AS precision_pct
+FROM u
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort triangle over the events stream: cohort = each
+    user's first ISO activity week, cell = distinct users from that
+    cohort active k weeks later. Two hash aggregations + one join on
+    user_id; the distinct-users count is exact because the activity
+    table is already (user, week)-distinct."""
+    ev = ld(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("timestamp_ntz")
+        .alias("week"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN cohort f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_quality_percentile_gate(spark, sf_dir):
+    """Per-language relative quality gate: keep each language's top
+    decile by length score (rank·10 ≤ stratum size — pure integers, no
+    percent_rank float). The per-stratum RELATIVE threshold is the
+    production shape for multilingual corpora, where one absolute
+    threshold over-prunes low-resource languages; both window functions
+    share one partitioning, so the plan has a single shuffle."""
+    docs = ld(spark, sf_dir, "documents")
+    wo = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wp = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            F.row_number().over(wo).alias("rnk"),
+            F.count(F.lit(1)).over(wp).alias("n_lang"),
+        )
+        .filter(F.col("rnk") * 10 <= F.col("n_lang"))
+        .select("doc_id", "lang", "n_chars", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_QUALITY_GATE = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk * 10 <= n_lang
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Ordering IS the attestation policy: the driver checks the first 50
     # slots, and tools/attest.py mechanically derives which queries are
@@ -4253,6 +4522,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # attested by ascending attested_round so the stalest attestations
     # refresh in the window spill-over slots).
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "png_adam7_decode": (q_png_adam7_decode, SQL_PNG_ADAM7_DECODE),
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "lsh_pair_quality": (q_lsh_pair_quality, SQL_LSH_PAIR_QUALITY),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "quality_percentile_gate": (q_quality_percentile_gate, SQL_QUALITY_GATE),
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
