@@ -71,6 +71,13 @@ HEADLINE = [
     "mulaw_decode",
     "semdedup",
     "key_skew_profile",
+    # round-5 session-3 additions
+    "png_adam7_decode",
+    "bigram_lm_score",
+    "weighted_sample",
+    "lsh_pair_quality",
+    "retention_cohorts",
+    "quality_percentile_gate",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

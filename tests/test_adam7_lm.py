@@ -190,3 +190,48 @@ def test_bigram_lm_tokenization_matches_oracle_shape(spark):
     #        (cat,the) once: ((1+1)M)//(2+2)=500000
     assert out.n_bigrams == 3
     assert out.lm_score == 750000 * 2 + 500000
+
+
+# --------------------------------------------------------------------------
+# hypothesis properties
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 10_000),
+)
+def test_adam7_roundtrip_property(w, h, seed):
+    """For ANY dims (including ones that empty out arbitrary subsets of
+    the seven passes) and any deterministic content, decode(build) is
+    exact — values AND placement."""
+    px = lambda x, y: (
+        (x * 7 + y * 13 + seed) % 256,
+        (x + y * 3 + seed * 5) % 256,
+        (x * 11 + seed) % 256,
+    )
+    assert A.decode_image_adam7(A.build_png_adam7(w, h, px)) == _brute(w, h, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 16), h=st.integers(1, 16), seed=st.integers(0, 10_000))
+def test_adam7_matches_noninterlaced_decode(w, h, seed):
+    """Cross-codec differential: the same image through the interlaced
+    builder/decoder and through the sequential PNG path (multimodal)
+    yields identical dims and sum_luma — two independent filter/layout
+    implementations agreeing on pixel values."""
+    from work_order_pdf_extractor_spark.operators import multimodal as M
+
+    px = lambda x, y: ((x * 3 + y * 5 + seed) % 256,) * 3
+    a = A.decode_image_adam7(A.build_png_adam7(w, h, px))
+    s = M.decode_image(M.build_png(w, h, px))
+    assert (a["width"], a["height"], a["sum_luma"]) == (
+        s["width"],
+        s["height"],
+        s["sum_luma"],
+    )
