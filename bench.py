@@ -78,6 +78,7 @@ HEADLINE = [
     "lsh_pair_quality",
     "retention_cohorts",
     "quality_percentile_gate",
+    "image_ahash_pairs",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim

@@ -4511,6 +4511,56 @@ FROM r WHERE rnk * 10 <= n_lang
 """
 
 
+def q_image_ahash_pairs(spark, sf_dir):
+    """Perceptual-hash IMAGE near-dup pairs — the multimodal twin of the
+    text near-dup family (operators/imagehash.py): decode each raster
+    through the real stdlib codec path, compute the integer 8×8 average
+    hash as four 16-bit bands, and find pairs within Hamming ≤ 3 via
+    banded blocking (pigeonhole-complete for h < 4 — never a quadratic
+    scan; the DuckDB oracle checks against the EXHAUSTIVE cross-pair
+    truth, so blocking completeness is value-verified, same discipline
+    as simhash_near_pairs). Fixture: 16×16 gray BMPs where docs sharing
+    doc_id %% 25 differ in one perturbed pixel (near-dups) and groups
+    differ in gradient orientation (far apart)."""
+    from .operators import imagehash
+
+    media = imagehash.media_bmp16_from_documents(ld(spark, sf_dir, "documents"))
+    return imagehash.ahash_near_pairs(imagehash.image_ahash(media), max_hamming=3)
+
+
+SQL_IMAGE_AHASH_PAIRS = """
+WITH px AS (
+  SELECT doc_id, x, y,
+         CASE WHEN x = doc_id % 16 AND y = (doc_id // 16) % 16
+              THEN ((x*(3 + doc_id % 25) + y*(5 + 2*(doc_id % 25))) % 256 + 128) % 256
+              ELSE (x*(3 + doc_id % 25) + y*(5 + 2*(doc_id % 25))) % 256 END AS v
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS y)),
+cell AS (
+  SELECT doc_id, (y // 2) * 8 + (x // 2) AS k, SUM(v) AS s
+  FROM px GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(s) AS t FROM cell GROUP BY doc_id),
+bands AS (
+  SELECT c.doc_id, c.k // 16 AS band,
+         SUM(CASE WHEN c.s * 64 > t.t THEN 1 << (c.k % 16) ELSE 0 END) AS bv
+  FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         CAST(MAX(CASE WHEN band = 0 THEN bv END) AS INTEGER) AS b0,
+         CAST(MAX(CASE WHEN band = 1 THEN bv END) AS INTEGER) AS b1,
+         CAST(MAX(CASE WHEN band = 2 THEN bv END) AS INTEGER) AS b2,
+         CAST(MAX(CASE WHEN band = 3 THEN bv END) AS INTEGER) AS b3
+  FROM bands GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Ordering IS the attestation policy: the driver checks the first 50
     # slots, and tools/attest.py mechanically derives which queries are
@@ -4522,6 +4572,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # attested by ascending attested_round so the stalest attestations
     # refresh in the window spill-over slots).
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "image_ahash_pairs": (q_image_ahash_pairs, SQL_IMAGE_AHASH_PAIRS),
     "png_adam7_decode": (q_png_adam7_decode, SQL_PNG_ADAM7_DECODE),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
