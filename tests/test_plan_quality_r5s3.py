@@ -54,11 +54,16 @@ def test_adam7_payload_never_shuffles(spark):
 def test_bigram_lm_vocab_is_broadcast_and_aggs_partial(spark):
     """The 1-row vocabulary scalar joins as a broadcast (the only
     nested-loop in the plan — build side is exactly one row); both count
-    tables are partial-then-final so Zipf whales combine map-side."""
+    tables are partial-then-final so Zipf whales combine map-side; and
+    the corpus is exploded exactly twice, not once per consumer — the
+    per-doc bigram-count and vocabulary tables are persisted and each
+    read back by ALL their consumers (>= 4 InMemoryTableScans: bigram
+    counts x2, unigrams x2)."""
     p = _plan(Q.REGISTRY["bigram_lm_score"][0](spark, SF))
     assert p.count("BroadcastNestedLoop") == 1
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") >= 4
 
 
 def test_lsh_pair_quality_shares_persisted_shingles(spark):
