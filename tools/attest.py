@@ -287,6 +287,13 @@ def _rounds() -> list[tuple[int, str, dict]]:
             and (row.get("hash_match") in (True, None))
             and not row.get("err")
         }
+        if not commits:
+            print(
+                f"WARNING: {path} matches no committed blob — round {r} "
+                "keys to the WORKING TREE and is marked provisional "
+                "(commit the driver report to pin it)",
+                file=sys.stderr,
+            )
         out.append((r, commits[0] if commits else None, green))
         r += 1
     return out
@@ -296,6 +303,7 @@ def build_manifest() -> dict:
     cur = fingerprints(None)
     rounds = _rounds()
     per_round_fp = {r: fingerprints(commit) for r, commit, _ in rounds}
+    provisional = sorted(r for r, commit, _ in rounds if commit is None)
     queries = {}
     for name, fp in cur.items():
         attested = None
@@ -307,6 +315,11 @@ def build_manifest() -> dict:
             "attested_round": attested,
             "status": "attested" if attested else "pending",
         }
+        # An attestation keyed to the working tree (driver report not
+        # yet committed) is real evidence only if the tree is untouched
+        # since the driver ran — surface that caveat explicitly.
+        if attested in provisional:
+            queries[name]["provisional"] = True
     pending = [q for q, v in queries.items() if v["status"] == "pending"]
     order = list(cur)  # registry order == driver window order
     pending_outside = [q for q in pending if order.index(q) >= WINDOW]
@@ -326,6 +339,7 @@ def build_manifest() -> dict:
             "round's driver-commit tree == fingerprint at HEAD"
         ),
         "window": WINDOW,
+        "provisional_rounds": provisional,
         "n_queries": len(queries),
         "n_attested": len(queries) - len(pending),
         "pending": pending,

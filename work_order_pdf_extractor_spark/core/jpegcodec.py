@@ -670,6 +670,9 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
@@ -1224,9 +1227,12 @@ def encode_progressive_ycbcr(
 
 def _next_marker(data: bytes, pos: int) -> int:
     """Position of the next real marker at/after ``pos``, skipping
-    entropy bytes and stuffed FF00 pairs."""
+    entropy bytes, stuffed FF00 pairs, and 0xFF fill bytes (T.81
+    B.1.1.2 allows any number of FF pads before the marker byte; the
+    returned position is that of the LAST 0xFF, so ``pos + 1`` is the
+    marker code itself)."""
     while pos + 1 < len(data):
-        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
             return pos
         pos += 1
     raise ValueError("ran off stream looking for a marker")
@@ -1372,6 +1378,9 @@ def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, i
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)

@@ -288,14 +288,30 @@ _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 
 
 def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
-    """Read ``N 0 obj ... endobj`` starting exactly at byte ``off``."""
+    """Read ``N 0 obj ... endobj`` starting exactly at byte ``off``.
+
+    If the object carries a stream, the dict's /Length is used to skip
+    the stream payload before searching for ``endobj`` (mirroring
+    :func:`_stream_bytes`), so Flate-compressed binary that happens to
+    contain the byte sequence ``endobj`` cannot truncate the body."""
     m = _OBJ_RE.match(data, off)
     if m is None:
         return None
-    end = data.find(b"endobj", m.end())
+    start = m.end()
+    end = data.find(b"endobj", start)
+    sidx = data.find(b"stream", start)
+    if sidx != -1 and (end == -1 or sidx < end):
+        lm = _LENGTH_RE.search(data, start, sidx)
+        if lm is not None:
+            p = sidx + len(b"stream")
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            end = data.find(b"endobj", p + int(lm.group(1)))
     if end == -1:
         raise PdfParseError("object at xref offset missing endobj")
-    return int(m.group(1)), data[m.end() : end]
+    return int(m.group(1)), data[start:end]
 
 
 def _parse_objstm(body: bytes) -> dict[int, bytes]:

@@ -45,7 +45,10 @@ def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
 
 
 def bigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Per-document add-one-smoothed bigram-LM affinity.
 
@@ -62,10 +65,12 @@ def bigram_lm_score(
     (``c_doc`` — partial aggregation absorbs the occurrence fan-out
     map-side) and that compact table is persisted once for its three
     consumers (corpus bigram counts, the score join, n_bigrams); the
-    vocabulary table is persisted for its two (c1 join, V scalar). The
-    persist is the same one-shot-harness lifecycle as the shared shingle
-    tables in the dedup family; a long-lived service would unpersist
-    after consumption."""
+    vocabulary table is persisted for its two (c1 join, V scalar). A
+    one-shot harness can let session teardown reclaim the cached blocks;
+    a long-lived caller passes ``persisted_out`` (a list the persisted
+    DataFrames are appended to — same contract as
+    ``plans.ingest.incremental_ingest``) and unpersists after the
+    result is consumed."""
     toks = ensure_parallelism(
         df.select(id_col, _tokens(df, text_col).alias("ts"))
     )
@@ -95,6 +100,8 @@ def bigram_lm_score(
         .agg(F.count(F.lit(1)).alias("c1"))
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.extend([bgc, uni])
     big = bgc.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vsize"))  # 1 row → broadcast
 
