@@ -209,3 +209,174 @@ def media_bmp16_from_documents(docs: DataFrame) -> DataFrame:
     return ensure_parallelism(docs.select("doc_id")).mapInPandas(
         fn, schema=MEDIA_SCHEMA
     )
+
+# ===========================================================================
+# DCT perceptual hash (pHash) — r6
+# ===========================================================================
+
+# Integer 16-point DCT-II basis, round(2^14 · cos(π(2x+1)u/32)). Computed
+# once at import from math.cos and shared VERBATIM with the DuckDB oracle
+# (queries.py embeds these integers into the SQL via f-string), so both
+# engines run the identical integer transform. Rounding is tie-safe: the
+# nearest any scaled basis value comes to an exact .5 boundary is 0.0105
+# (measured), ~1e13 ulps — no platform's cos() can cross it.
+PHASH_SCALE = 1 << 14
+PHASH_BASIS: list[list[int]] = [
+    [
+        round(PHASH_SCALE * __import__("math").cos(
+            __import__("math").pi * (2 * x + 1) * u / 32
+        ))
+        for x in range(AHASH_SIDE)
+    ]
+    for u in range(AHASH_SIDE)
+]
+
+
+def phash_bands(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a BMP/PNG/PPM payload and return the 64-bit DCT perceptual
+    hash as four 16-bit band integers.
+
+    The classic pHash recipe (Zauner, "Implementation and Benchmarking
+    of Perceptual Image Hash Functions") made integer-exact: 16×16 luma
+    raster → integer 2-D DCT-II (``C[u,v] = Σ_y Σ_x B[u,y]·B[v,x]·L[y,x]``
+    with the shared ``PHASH_BASIS``; |C| < 2^45, no overflow) → keep the
+    8×8 LOW-FREQUENCY block → threshold each coefficient against the
+    MEDIAN of the 63 AC coefficients (the 32nd order statistic of an
+    odd-sized integer multiset — exactly reproducible, no float mean) →
+    bit ``k = u*8+v`` set when ``C[u,v] > median``. Properties pinned by
+    tests: EXACT invariance to unclamped global brightness shift (only
+    the excluded DC coefficient changes) and to exact contrast scaling
+    (all coefficients and their median scale together)."""
+    if payload[:2] == b"BM":
+        w, h, lumas = _decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, lumas = _decode_png(payload)
+    elif payload[:2] == b"P6":
+        w, h, lumas = _decode_ppm(payload)
+    else:
+        raise ValueError("unsupported payload for phash")
+    if (w, h) != (AHASH_SIDE, AHASH_SIDE):
+        raise ValueError(
+            f"phash expects a {AHASH_SIDE}x{AHASH_SIDE} raster, got {w}x{h}"
+        )
+    import numpy as np
+
+    L = np.asarray(lumas, dtype=np.int64).reshape(AHASH_SIDE, AHASH_SIDE)
+    B = np.asarray(PHASH_BASIS, dtype=np.int64)
+    C = B @ L @ B.T
+    low = C[:8, :8].ravel()
+    med = int(np.partition(low[1:], 31)[31])
+    bands = [0, 0, 0, 0]
+    for k in range(64):
+        if int(low[k]) > med:
+            bands[k // 16] |= 1 << (k % 16)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """media rows → (media_id, b0..b3) DCT perceptual hash, one
+    Arrow-batched pass; same narrow-output discipline as
+    :func:`image_ahash` (payload bytes never leave the scan stage)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [phash_bands(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].values,
+                    "b0": pd.array([o[0] for o in out], dtype="int32"),
+                    "b1": pd.array([o[1] for o in out], dtype="int32"),
+                    "b2": pd.array([o[2] for o in out], dtype="int32"),
+                    "b3": pd.array([o[3] for o in out], dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, schema=AHASH_SCHEMA)
+
+
+# pHash fixture: md5-seeded SMOOTH rasters (bilinear interpolation of a
+# 4×4 control grid) — a DCT hash is only meaningful on images with
+# low-frequency structure; the aHash fixture's mod-256 sawtooth is
+# spectrally white and would make every coefficient marginal.
+_PHASH_CTRL_RANGE = 200
+_PHASH_CTRL_LO = 28
+_PHASH_GROUPS = 25
+_PHASH_SHIFT_STEP = 3  # brightness variants 0..15 — never clamps
+_PHASH_DIPOLE = 6
+
+
+def _md5_int32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _phash_control(gid: int) -> list[list[int]]:
+    return [
+        [
+            _md5_int32(f"{gid}:{i}:{j}") % _PHASH_CTRL_RANGE + _PHASH_CTRL_LO
+            for i in range(4)
+        ]
+        for j in range(4)
+    ]
+
+
+def _doc_phash_pixel(doc_id: int):
+    """Deterministic smooth 16×16 gray fixture with near-dup structure:
+    docs sharing ``doc_id % 25`` share a bilinear base surface; variants
+    differ by an UNCLAMPED global brightness shift (pHash-invariant by
+    construction — only DC moves) plus a tiny ±6 horizontal dipole
+    (high-frequency, so its low-block leakage exercises the Hamming
+    threshold non-trivially). Values stay within [21, 248] by
+    construction: no clamping, so the DuckDB oracle regenerates every
+    pixel in closed form."""
+    gid = doc_id % _PHASH_GROUPS
+    ctrl = _phash_control(gid)
+    shift = _PHASH_SHIFT_STEP * ((doc_id // _PHASH_GROUPS) % 6)
+    px, py = doc_id % 15, (doc_id // 16) % 16
+
+    def px_fn(x: int, y: int) -> tuple[int, int, int]:
+        i = min(x // 5, 2)
+        j = min(y // 5, 2)
+        fx, fy = x - 5 * i, y - 5 * j
+        v = (
+            ctrl[j][i] * (5 - fx) * (5 - fy)
+            + ctrl[j][i + 1] * fx * (5 - fy)
+            + ctrl[j + 1][i] * (5 - fx) * fy
+            + ctrl[j + 1][i + 1] * fx * fy
+        ) // 25
+        v += shift
+        if y == py and x == px:
+            v += _PHASH_DIPOLE
+        elif y == py and x == px + 1:
+            v -= _PHASH_DIPOLE
+        return (v, v, v)
+
+    return px_fn
+
+
+def media_bmp16_smooth_from_documents(docs: DataFrame) -> DataFrame:
+    """One deterministic smooth 16×16 gray BMP per document (see
+    :func:`_doc_phash_pixel` for the group/shift/dipole structure)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = [
+                build_bmp(AHASH_SIDE, AHASH_SIDE, _doc_phash_pixel(int(d)))
+                for d in b["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )

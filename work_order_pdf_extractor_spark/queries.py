@@ -2378,18 +2378,23 @@ WHERE rank <= 3
 """
 
 
-IVF_NPROBE = 2
+IVF_NPROBE = 6  # r6 sweep (tools/ivf_sweep.py, SCALE.md): recall@3
+# 0.90 at sf0.01 / 0.94 at sf0.1 at K=8 — first operating point over
+# the >=0.8 bar the banded-LSH default already meets; the old nprobe=2
+# default sat at 0.47, a weak default the gauge itself condemned.
 
 
 def q_ivf_topk_nprobe(spark, sf_dir):
-    """IVF top-k with MULTI-CELL probing (nprobe=2) — the recall lever
-    the single-cell ivf_topk leaves on the table: the corpus stays in
-    its rank-1 cells, each query additionally searches its 2nd-nearest
-    cell, so a true neighbor lost to a cell boundary is recovered while
-    per-query work stays nprobe x N/K. Recall@3 measured by the
-    ann_recall gauge: 0.31 (nprobe=1) -> see SCALE.md for the swept
-    curve. Within-cell scoring is the chunked-numpy roles scorer
-    (operators/ann_tuning.py), never a pair materialization."""
+    """IVF top-k with MULTI-CELL probing — the recall lever the
+    single-cell ivf_topk leaves on the table: the corpus stays in its
+    rank-1 cells, each query additionally searches its next-nearest
+    cells, so a true neighbor lost to a cell boundary is recovered while
+    per-query work stays nprobe x N/K. Default nprobe=6 chosen by the
+    r6 sweep: recall@3 0.90 (sf0.01) / 0.94 (sf0.1) vs 0.31 at
+    nprobe=1 and 0.47 at the old nprobe=2 default — see SCALE.md for
+    the full (K, nprobe) curve incl. K ~ sqrt(N) sizing. Within-cell
+    scoring is the chunked-numpy roles scorer (operators/ann_tuning.py),
+    never a pair materialization."""
     from .operators import ann_tuning
 
     return ann_tuning.ivf_topk_nprobe(
@@ -3558,6 +3563,109 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level exact-substring decontamination (the GPT-3/FLAN recipe:
+    locate VERBATIM benchmark n-grams, not just count overlap): per
+    contaminated corpus doc, the maximal matched token spans as 0-based
+    inclusive offsets. Positioned corpus shingles filtered map-side
+    against the broadcast benchmark set; only hit (doc_id, pos) longs
+    reach the per-doc island-merge window."""
+    from .operators import decontam
+
+    docs = ld(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.decontaminate_spans(corpus, bench)
+
+
+_SQL_SPAN_HITS = """
+cshingles AS (
+  SELECT doc_id, i - 1 AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id % 97 <> 0),
+       LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+  WHERE len(ws) >= 3),
+bench AS (
+  SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id % 97 = 0),
+       LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+  WHERE len(ws) >= 3),
+hits AS (SELECT doc_id, pos FROM cshingles JOIN bench USING (shingle)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 3
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged),
+spans AS (
+  SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) + 2 AS INTEGER) AS span_end,
+         CAST(COUNT(*) AS INTEGER) AS n_matched_shingles
+  FROM islands GROUP BY doc_id, island_id)
+"""
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH {_SQL_SPAN_HITS}
+SELECT doc_id, span_start, span_end, n_matched_shingles FROM spans
+"""
+
+
+def q_excise_spans(spark, sf_dir):
+    """Span-level EXCISION (the FLAN-style alternative to whole-doc
+    removal): contaminated token ranges are dropped and the remainder
+    kept. Emits (doc_id, clean_len, clean_md5, n_tokens_removed) — the
+    md5 keeps the audit row narrow while still pinning the exact clean
+    text, the same shape as pii_redact. Span table is the rare hit set;
+    clean docs pass through with n_tokens_removed=0 and untouched text."""
+    from .operators import decontam
+
+    docs = ld(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    spans = decontam.decontaminate_spans(corpus, bench)
+    out = decontam.excise_spans(corpus, spans)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens_removed",
+    )
+
+
+SQL_EXCISE_SPANS = f"""
+WITH {_SQL_SPAN_HITS},
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)),
+kept AS (
+  SELECT t.doc_id, t.w, t.idx FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.idx BETWEEN s.span_start AND s.span_end)),
+clean AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id),
+removed AS (
+  SELECT doc_id,
+         CAST(SUM(span_end - span_start + 1) AS INTEGER) AS n_tokens_removed
+  FROM spans GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(length(COALESCE(cl.clean_text, '')) AS BIGINT) AS clean_len,
+       md5(COALESCE(cl.clean_text, '')) AS clean_md5,
+       COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed
+FROM corpus c
+LEFT JOIN clean cl ON c.doc_id = cl.doc_id
+LEFT JOIN removed r ON c.doc_id = r.doc_id
+"""
+
+
 def q_boilerplate_spans(spark, sf_dir):
     """Cross-document boilerplate detection: fraction of each document's
     3-gram shingles recurring in >= 3 documents (the published
@@ -3889,7 +3997,7 @@ def q_ann_recall(spark, sf_dir):
         one("lsh_banded", exact_cos, banded)
         .unionAll(one("lsh_salted", exact_cos, salted))
         .unionAll(one("ivf", exact_cos, ivf))
-        .unionAll(one("ivf_nprobe2", exact_cos, ivf_np))
+        .unionAll(one(f"ivf_nprobe{IVF_NPROBE}", exact_cos, ivf_np))
         .unionAll(one("pq_adc", exact_l2, pq_res))
     )
 
@@ -3956,7 +4064,7 @@ counts AS (
          (SELECT COUNT(*) FROM exact_cos e
           JOIN ivfr a ON e.qid = a.qid AND e.nid = a.nid)
   UNION ALL
-  SELECT 'ivf_nprobe2',
+  SELECT 'ivf_nprobe{IVF_NPROBE}',
          (SELECT COUNT(*) FROM exact_cos),
          (SELECT COUNT(*) FROM exact_cos e
           JOIN ivfnp a ON e.qid = a.qid AND e.nid = a.nid)
@@ -4561,6 +4669,101 @@ SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
 """
 
 
+def q_image_phash_pairs(spark, sf_dir):
+    """DCT perceptual-hash (pHash) image near-dup pairs — the frequency-
+    domain sibling of image_ahash_pairs: integer 16-point DCT-II (basis
+    shared VERBATIM with the oracle), 8×8 low-frequency block
+    thresholded at the exact 63-AC median, four 16-bit bands, banded
+    blocking complete for Hamming ≤ 3, oracle = EXHAUSTIVE cross-pair
+    truth. Fixture: smooth md5-seeded bilinear rasters; same-group docs
+    differ by an unclamped brightness shift (pHash-invariant by
+    construction: only the excluded DC moves) plus a ±6 dipole whose
+    low-block leakage exercises the threshold. See SCALE.md for the
+    measured aHash/pHash brittleness comparison on these rasters."""
+    from .operators import imagehash
+
+    media = imagehash.media_bmp16_smooth_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return imagehash.ahash_near_pairs(
+        imagehash.image_phash(media), max_hamming=3
+    )
+
+
+from .operators.imagehash import PHASH_BASIS as _PHASH_BASIS  # noqa: E402
+
+_PHASH_BASIS_VALUES = ", ".join(
+    f"({u}, {pos}, {c})"
+    for u, row in enumerate(_PHASH_BASIS)
+    for pos, c in enumerate(row)
+)
+
+SQL_IMAGE_PHASH_PAIRS = f"""
+WITH basis AS (
+  SELECT * FROM (VALUES {_PHASH_BASIS_VALUES}) t(u, pos, c)),
+gids AS (SELECT DISTINCT doc_id % 25 AS gid FROM documents),
+ctrl AS (
+  SELECT gid, i, j,
+         CAST(CONCAT('0x', substr(md5(CONCAT(gid, ':', i, ':', j)), 1, 8))
+              AS BIGINT) % 200 + 28 AS c
+  FROM gids,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS i),
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS j)),
+lum AS (
+  SELECT d.doc_id, g.x, g.y,
+         SUM(c.c * (CASE WHEN c.i = LEAST(g.x // 5, 2)
+                         THEN 5 - (g.x - 5 * LEAST(g.x // 5, 2))
+                         ELSE g.x - 5 * LEAST(g.x // 5, 2) END)
+                 * (CASE WHEN c.j = LEAST(g.y // 5, 2)
+                         THEN 5 - (g.y - 5 * LEAST(g.y // 5, 2))
+                         ELSE g.y - 5 * LEAST(g.y // 5, 2) END)) // 25
+         + 3 * ((d.doc_id // 25) % 6)
+         + CASE WHEN g.y = (d.doc_id // 16) % 16 AND g.x = d.doc_id % 15
+                THEN 6
+                WHEN g.y = (d.doc_id // 16) % 16 AND g.x = d.doc_id % 15 + 1
+                THEN -6 ELSE 0 END AS v
+  FROM documents d,
+       LATERAL (SELECT x, y FROM
+                  (SELECT unnest(generate_series(0, 15)) AS x),
+                  (SELECT unnest(generate_series(0, 15)) AS y)) g
+  JOIN ctrl c
+    ON c.gid = d.doc_id % 25
+   AND c.i IN (LEAST(g.x // 5, 2), LEAST(g.x // 5, 2) + 1)
+   AND c.j IN (LEAST(g.y // 5, 2), LEAST(g.y // 5, 2) + 1)
+  GROUP BY d.doc_id, g.x, g.y),
+r1 AS (
+  SELECT p.doc_id, b.u, p.x, SUM(b.c * p.v) AS r
+  FROM lum p JOIN basis b ON b.pos = p.y
+  GROUP BY 1, 2, 3),
+co AS (
+  SELECT r1.doc_id, r1.u, b2.u AS vfreq, SUM(b2.c * r1.r) AS cval
+  FROM r1 JOIN basis b2 ON b2.pos = r1.x
+  WHERE r1.u < 8 AND b2.u < 8
+  GROUP BY 1, 2, 3),
+low AS (SELECT doc_id, u * 8 + vfreq AS k, cval FROM co),
+med AS (
+  SELECT doc_id, cval AS m FROM low WHERE k > 0
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cval, k) = 32),
+bands AS (
+  SELECT l.doc_id, l.k // 16 AS band,
+         SUM(CASE WHEN l.cval > med.m THEN 1 << (l.k % 16) ELSE 0 END) AS bv
+  FROM low l JOIN med USING (doc_id) GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         CAST(MAX(CASE WHEN band = 0 THEN bv END) AS INTEGER) AS b0,
+         CAST(MAX(CASE WHEN band = 1 THEN bv END) AS INTEGER) AS b1,
+         CAST(MAX(CASE WHEN band = 2 THEN bv END) AS INTEGER) AS b2,
+         CAST(MAX(CASE WHEN band = 3 THEN bv END) AS INTEGER) AS b3
+  FROM bands GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Ordering IS the attestation policy: the driver checks the first 50
     # slots, and tools/attest.py mechanically derives which queries are
@@ -4572,6 +4775,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # attested by ascending attested_round so the stalest attestations
     # refresh in the window spill-over slots).
     # -- block 0: pending per ATTESTATION.json (changed / new / stale) ----
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    "excise_spans": (q_excise_spans, SQL_EXCISE_SPANS),
+    "image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
     "image_ahash_pairs": (q_image_ahash_pairs, SQL_IMAGE_AHASH_PAIRS),
     "png_adam7_decode": (q_png_adam7_decode, SQL_PNG_ADAM7_DECODE),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM),
