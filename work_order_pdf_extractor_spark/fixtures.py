@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import base64
 import datetime as _dt
+import os
 import random
 
 import pandas as pd
@@ -46,6 +47,12 @@ SCALES = {
     "small": (1500, [(3, 2200)]),
     "bench": (12000, [(6, 2500)]),
 }
+
+# Share of PDF payloads emitted in the PDF 1.5 xref-stream form. 0.4 is
+# the production mix; the env override exists ONLY for the interleaved
+# fixture-mix attribution protocol (tools/attr_extract.py) — bench.py
+# never sets it, so BENCH_r*.json always measures the registered mix.
+XREF_STREAM_SHARE = float(os.environ.get("SPARK_GRAFT_XREF_SHARE", "0.4"))
 
 
 def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
@@ -107,12 +114,16 @@ def build_pdf_payload(
                 ("text", 40, 60, 9, "Page 2 of 2"),
             ]
         )
-    # ~40% of payloads use the PDF 1.5 form (cross-reference stream +
-    # object streams) — the layout most post-2004 PDFs actually use —
-    # so the flagship pipeline and goldens exercise both parser paths
+    # ~XREF_STREAM_SHARE of payloads use the PDF 1.5 form (cross-reference
+    # stream + object streams) — the layout most post-2004 PDFs actually
+    # use — so the flagship pipeline and goldens exercise both parser
+    # paths. The share is a PRE-REGISTERED experiment knob (env
+    # SPARK_GRAFT_XREF_SHARE, r6 extract_pipeline attribution —
+    # BENCH/BASELINE.md): the rng draw is consumed either way, so two
+    # shares yield byte-identical corpora except for the xref form.
     data = pdfparse.build_pdf(
         pages, (PAGE_W, PAGE_H), compress=compress,
-        xref_stream=rng.random() < 0.4,
+        xref_stream=rng.random() < XREF_STREAM_SHARE,
     )
     if malformed == "truncate":
         data = data[: len(data) // 2]
