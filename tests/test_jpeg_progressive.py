@@ -179,3 +179,54 @@ def test_optimal_huffman_tables_are_canonical():
             not (ln == maxlen and code == (1 << ln) - 1)
             for code, ln in codes.values()
         )
+
+
+# ---------------------------------------------------------------------------
+# r6: hypothesis property — ARBITRARY content, dims (incl. non-multiple-of-8
+# padding paths), and quant tables. Closes the "fixture-grade encoder"
+# asterisk: the same bit-exact differential the parametrized tests pin on a
+# few shapes, searched over the whole input space.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    qkind=st.sampled_from(["flat8", "random", "steep"]),
+)
+def test_property_gray_progressive_equals_baseline(w, h, seed, qkind):
+    rng = np.random.RandomState(seed)
+    if qkind == "flat8":
+        quant = [8] * 64
+    elif qkind == "random":
+        quant = rng.randint(1, 48, size=64).tolist()
+    else:  # steep: strong low-freq bias like a real table
+        quant = [1 + (x + y) * 3 for y in range(8) for x in range(8)]
+    samples = rng.randint(0, 256, size=w * h).tolist()
+    base, prog = _gray_pair(w, h, samples, quant=quant)
+    assert base == prog
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.sampled_from([16, 24, 31]),
+    h=st.sampled_from([16, 23, 32]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_color420_progressive_equals_baseline(w, h, seed):
+    rng = np.random.RandomState(seed)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = rng.randint(0, 256, size=w * h).tolist()
+    cb = rng.randint(0, 256, size=cw * ch).tolist()
+    cr = rng.randint(0, 256, size=cw * ch).tolist()
+    base = J.decode_baseline(
+        J.encode_baseline_ycbcr420(w, h, y, cb, cr)
+    )
+    prog = J.decode_baseline(
+        J.encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="420")
+    )
+    assert base == prog
