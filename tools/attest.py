@@ -349,7 +349,45 @@ def build_manifest() -> dict:
     }
 
 
+def _round_start() -> int:
+    """Scripted round-start step (VERDICT r5 ask #2): verify every driver
+    report (CORRECTNESS_r*.json, BENCH_r*.json) is committed and
+    byte-identical to its committed blob, regenerate the manifest, and
+    fail loudly if any round would key to the working tree. Run this
+    FIRST THING each round, then commit the regenerated manifest with
+    the round's driver artifacts if anything changed."""
+    import glob
+
+    dirty = []
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    ):
+        rel = os.path.relpath(path, REPO)
+        status = _git("status", "--porcelain", "--", rel).strip()
+        if status:
+            dirty.append(f"{rel} ({status.split()[0]})")
+    manifest = build_manifest()
+    ok = not dirty and not manifest["provisional_rounds"]
+    print(
+        f"round-start: {manifest['n_attested']}/{manifest['n_queries']} "
+        f"attested; uncommitted driver reports: {dirty or 'none'}; "
+        f"provisional rounds: {manifest['provisional_rounds'] or 'none'}"
+    )
+    if not ok:
+        print(
+            "FAIL: commit the driver reports (and regenerated "
+            "ATTESTATION.json) before editing code — attestations must "
+            "key to an immutable tree."
+        )
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if "--round-start" in sys.argv:
+        rc = _round_start()
+        if rc:
+            return rc
     manifest = build_manifest()
     out_path = os.path.join(REPO, "ATTESTATION.json")
     with open(out_path, "w", encoding="utf-8") as f:
