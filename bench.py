@@ -79,6 +79,9 @@ HEADLINE = [
     "retention_cohorts",
     "quality_percentile_gate",
     "image_ahash_pairs",
+    # round-6 additions (pre-registered in BENCH/BASELINE.md round-6 deltas)
+    "decontaminate_spans",
+    "image_phash_pairs",
 ]
 
 # realistic ANN scale for the high-dim bench: the sf tables carry 64-dim
@@ -962,7 +965,7 @@ def run_scaling() -> None:
 # plan shape whose cluster behavior was previously argued, not measured.
 # ---------------------------------------------------------------------------
 
-DEDUP_REPLICAS = 16
+DEDUP_REPLICAS = 64  # 320k docs: job long enough that fixed stage costs amortize
 _DEDUP_POOL = "aeioubcdfghjklmnpqrst"  # 21 chars
 
 
@@ -1002,13 +1005,25 @@ def run_dedup_cluster_once(n_execs: int, cores_per_exec: int = 7) -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     total_cores = n_execs * cores_per_exec
+    # Executor sizing measured (r6, this VM): 4x5g JVMs ran this string-
+    # churn-heavy job 8-15x SLOWER than 1x5g (54 MB shuffle write clocked
+    # 17 core-s, 10 core-s GC; raw disk is 160 MB/s and RAM was free, so
+    # it is JVM GC ergonomics at large heaps, not I/O). 3g heaps +
+    # ActiveProcessorCount sized to the executor's own core slice (what a
+    # real cluster node's container would see) restore sane behavior:
+    # pairs job 50-100s -> 6.5s at 4 executors. Width stays identical at
+    # both executor counts, so the 1->4 ratio still isolates executor
+    # scaling.
     spark = get_spark(
         app_name=f"dedup-cluster-{n_execs}x{cores_per_exec}",
         cores=total_cores,
-        master=f"local-cluster[{n_execs},{cores_per_exec},6144]",
+        master=f"local-cluster[{n_execs},{cores_per_exec},4096]",
         extra_conf={
             "spark.executorEnv.PYTHONPATH": REPO,
-            "spark.executor.memory": "5g",
+            "spark.executor.memory": "3g",
+            "spark.executor.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores_per_exec}"
+            ),
         },
     )
     corpus = _dedup_corpus(spark, sf_dir)
