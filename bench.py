@@ -970,12 +970,24 @@ _DEDUP_POOL = "aeioubcdfghjklmnpqrst"  # 21 chars
 
 
 def _dedup_vowel_map(r: int) -> str:
-    """Pairwise-distinct 5-char vowel substitution per replica: position i
-    maps to pool[(r + 3i + 1) % 21], so two replicas differ at every
-    position — replicas of one document share (almost) no shingles and
-    candidate generation stays the corpus's own near-dup structure ×16
-    instead of a quadratic replica blowup."""
-    return "".join(_DEDUP_POOL[(r + 3 * i + 1) % 21] for i in range(5))
+    """Pairwise-distinct 5-char vowel substitution per replica. Positions
+    0 and 1 carry the base-21 digits of r (r < 441), so ANY two replicas
+    differ in at least one of the first two map characters — a guarantee
+    that holds for every DEDUP_REPLICAS <= 441, unlike the r6 first cut
+    (single rotation mod 21), which silently collapsed 64 replicas into
+    21 identical-map groups of byte-identical clones. Replicas of one
+    document therefore share (almost) no shingles and candidate
+    generation stays the corpus's own near-dup structure ×replicas, not
+    a replica cross-product."""
+    return "".join(
+        [
+            _DEDUP_POOL[r % 21],
+            _DEDUP_POOL[(r // 21 + 7) % 21],
+            _DEDUP_POOL[(r + 5) % 21],
+            _DEDUP_POOL[(2 * r + 11) % 21],
+            _DEDUP_POOL[(3 * r + 2) % 21],
+        ]
+    )
 
 
 def _dedup_corpus(spark, sf_dir: str):
@@ -1224,10 +1236,11 @@ def run_cluster_scaling_dedup() -> None:
         "dominated, one small shuffle). This section runs the SHUFFLE-HEAVY dedup "
         "pipeline — shingle explode -> md5/affine MinHash signature groupBy -> "
         "banded bucket self-join -> distinct pairs — on the same protocol: "
-        "`local-cluster[n,7,6144]` holds executor width fixed, executor count "
-        "scales 1 -> 4 pinned to 8/32 CPUs, ceiling = the identical signature/"
-        "bucket computation under plain multiprocessing with an in-memory bucket "
-        "merge. Corpus: sf0.1 documents x16 replicas, each replica "
+        "`local-cluster[n,7,4096]` (3g executor heaps + ActiveProcessorCount — "
+        "see the attempt-1 heap-sizing diagnosis) holds executor width fixed, "
+        "executor count scales 1 -> 4 pinned to 8/32 CPUs, ceiling = the "
+        "identical signature/bucket computation under plain multiprocessing "
+        f"with an in-memory bucket merge. Corpus: sf0.1 documents x{DEDUP_REPLICAS} replicas, each replica "
         "vowel-translated so replicas share no shingles (the candidate structure "
         "is the corpus's own near-dup groups x16, never a replica cross-product).\n\n"
         "| config | engine docs/sec | hw-ceiling docs/sec |\n|---|---|---|\n"

@@ -75,3 +75,45 @@ def test_bigram_lm_persisted_out_contract(spark):
         assert cached.is_cached
         cached.unpersist()
         assert not cached.is_cached
+
+
+def test_split_objects_skips_stream_containing_endobj_bytes():
+    """Same hole as _obj_at, on the CLASSIC-xref scan path: the /Length
+    skip must protect _split_objects too (review finding, r6)."""
+    stream = b"AAAAendobjBBBBCCCCDD"  # 20 bytes, fake terminator inside
+    data = (
+        b"5 0 obj\n<< /Length 20 >>\nstream\n" + stream
+        + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    )
+    objs = pdfparse._split_objects(data)
+    assert set(objs) == {5, 6}
+    assert b"AAAAendobjBBBB" in objs[5] and b"endstream" in objs[5]
+    assert b"/Catalog" in objs[6]
+
+
+def test_split_objects_ignores_obj_shaped_bytes_inside_stream():
+    """An ``N 0 obj`` byte run inside stream data must not shadow a real
+    object: the scan advances past each object's true end."""
+    stream = b"xx 7 0 obj << /Fake true >> endobj yy"
+    data = (
+        b"5 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"7 0 obj\n<< /Real true >>\nendobj\n"
+    )
+    objs = pdfparse._split_objects(data)
+    assert set(objs) == {5, 7}
+    assert b"/Real" in objs[7] and b"/Fake" not in objs[7]
+
+
+def test_classic_pdf_with_endobj_text_parses_end_to_end():
+    """A valid classic-xref PDF whose (uncompressed) content stream
+    contains the literal word 'endobj' must parse — the old scan
+    truncated the body and reported a truncated content stream."""
+    data = pdfparse.build_pdf(
+        [[("text", 40, 760, 10, "note: endobj appears in prose")]]
+    )
+    assert b"endobj appears" in data  # the hazard is actually present
+    pages = pdfparse.parse_pdf(data)
+    texts = " ".join(t[0] for t in pages[0]["tokens"])
+    assert "endobj appears in prose" in texts

@@ -369,6 +369,7 @@ def _round_start() -> int:
             dirty.append(f"{rel} ({status.split()[0]})")
     manifest = build_manifest()
     ok = not dirty and not manifest["provisional_rounds"]
+    _round_start.manifest = manifest  # reuse in main(): build is expensive
     print(
         f"round-start: {manifest['n_attested']}/{manifest['n_queries']} "
         f"attested; uncommitted driver reports: {dirty or 'none'}; "
@@ -384,11 +385,14 @@ def _round_start() -> int:
 
 
 def main() -> int:
+    manifest = None
     if "--round-start" in sys.argv:
         rc = _round_start()
         if rc:
             return rc
-    manifest = build_manifest()
+        manifest = getattr(_round_start, "manifest", None)
+    if manifest is None:
+        manifest = build_manifest()
     out_path = os.path.join(REPO, "ATTESTATION.json")
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1, sort_keys=False)

@@ -37,10 +37,22 @@ def main() -> None:
     from work_order_pdf_extractor_spark import fixtures
     from work_order_pdf_extractor_spark.session import get_spark
 
+    # Cache dirs are keyed by a fingerprint of the fixture-generation code:
+    # write_fixture_parquet is skip-if-exists, and silently pairing a stale
+    # arm with a fresh one would break the "byte-identical except the PDF
+    # form" premise the interleaved statistic depends on.
+    import hashlib
+    import inspect
+
+    from work_order_pdf_extractor_spark.core import pdfparse as _pp
+
+    code_fp = hashlib.md5(
+        (inspect.getsource(fixtures) + inspect.getsource(_pp)).encode()
+    ).hexdigest()[:10]
     paths = {}
     for share, tag in ((0.0, "xref00"), (0.4, "xref40")):
         fixtures.XREF_STREAM_SHARE = share
-        out = os.path.join(CACHE, tag)
+        out = os.path.join(CACHE, f"{tag}_{code_fp}")
         paths[tag] = fixtures.write_fixture_parquet(out, "bench")["transcripts"]
         print(f"# fixture {tag}: {paths[tag]}", flush=True)
 

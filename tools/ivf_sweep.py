@@ -7,7 +7,7 @@ literature prescribes. The numbers go into SCALE.md and pick the
 production IVF_NPROBE default in queries.py (recall@3 >= 0.8 bar, same
 treatment the banded-LSH family got in r5).
 
-Usage: python tools/ivf_sweep.py [sf_dir] [--k 8,sqrt] [--nprobe 1,2,3,4,6,8]
+Usage: python tools/ivf_sweep.py [sf_dir]   (sweeps K in {8, sqrt(N)} x NPROBES)
 """
 
 from __future__ import annotations

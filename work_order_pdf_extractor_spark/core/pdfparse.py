@@ -237,18 +237,47 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
 
+def _body_end(data: bytes, start: int) -> int:
+    """Offset of the ``endobj`` that truly terminates the object body
+    starting at ``start``. If the object carries a stream, the dict's
+    /Length skips the stream payload first (mirroring
+    :func:`_stream_bytes`), so Flate-compressed binary that happens to
+    contain the byte sequence ``endobj`` cannot truncate the body.
+    Returns -1 when no terminator exists."""
+    end = data.find(b"endobj", start)
+    sidx = data.find(b"stream", start)
+    if sidx != -1 and (end == -1 or sidx < end):
+        lm = _LENGTH_RE.search(data, start, sidx)
+        if lm is not None:
+            p = sidx + len(b"stream")
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            end = data.find(b"endobj", p + int(lm.group(1)))
+    return end
+
+
 def _split_objects(data: bytes) -> dict[int, bytes]:
     """Locate ``N 0 obj ... endobj`` bodies by scanning (xref-independent,
     robust to files whose xref is damaged — stream extraction still uses
-    /Length, so truncation is detected)."""
+    /Length, so truncation is detected). The scan advances past each
+    object's true end (:func:`_body_end`), so neither an embedded
+    ``endobj`` nor an ``N 0 obj``-shaped byte run inside stream data can
+    truncate or shadow a real object."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
         num = int(m.group(1))
         start = m.end()
-        end = data.find(b"endobj", start)
+        end = _body_end(data, start)
         if end == -1:
             raise PdfParseError(f"object {num} missing endobj")
         objs[num] = data[start:end]
+        pos = end + len(b"endobj")
     return objs
 
 
@@ -298,17 +327,7 @@ def _obj_at(data: bytes, off: int) -> tuple[int, bytes] | None:
     if m is None:
         return None
     start = m.end()
-    end = data.find(b"endobj", start)
-    sidx = data.find(b"stream", start)
-    if sidx != -1 and (end == -1 or sidx < end):
-        lm = _LENGTH_RE.search(data, start, sidx)
-        if lm is not None:
-            p = sidx + len(b"stream")
-            if data[p : p + 2] == b"\r\n":
-                p += 2
-            elif data[p : p + 1] == b"\n":
-                p += 1
-            end = data.find(b"endobj", p + int(lm.group(1)))
+    end = _body_end(data, start)
     if end == -1:
         raise PdfParseError("object at xref offset missing endobj")
     return int(m.group(1)), data[start:end]

@@ -32,6 +32,8 @@ the stage a corpus-scale crawl needs instead.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -223,9 +225,7 @@ def media_bmp16_from_documents(docs: DataFrame) -> DataFrame:
 PHASH_SCALE = 1 << 14
 PHASH_BASIS: list[list[int]] = [
     [
-        round(PHASH_SCALE * __import__("math").cos(
-            __import__("math").pi * (2 * x + 1) * u / 32
-        ))
+        round(PHASH_SCALE * math.cos(math.pi * (2 * x + 1) * u / 32))
         for x in range(AHASH_SIDE)
     ]
     for u in range(AHASH_SIDE)
