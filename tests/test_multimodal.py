@@ -129,12 +129,12 @@ def test_jpeg_rejects_subsampling_16bit_quant_and_truncated_sof():
     truncated = flat[:ncomp_at] + b"\x03" + flat[ncomp_at + 1 :]
     with pytest.raises(ValueError):
         J.decode_baseline_gray(truncated)
-    # sampling factors beyond 2 (e.g. 4x1) -> explicit boundary
-    # (2x2 / 4:2:0 itself is now decodable, tested below)
+    # sampling factor 3 -> explicit boundary (r6 moved the line: 1/2/4
+    # with integer upsampling ratios are all decodable, incl. 4:1:1)
     color = J.encode_baseline_ycbcr(8, 8, [7] * 64, [128] * 64, [128] * 64)
     csof = color.index(b"\xff\xc0")
     # SOF0: marker(2) len(2) precision(1) dims(4) ncomp(1) id(1) -> sampling
-    sampled = color[: csof + 11] + b"\x41" + color[csof + 12 :]
+    sampled = color[: csof + 11] + b"\x31" + color[csof + 12 :]
     with pytest.raises(NotImplementedError):
         J.decode_baseline(sampled)
 

@@ -117,3 +117,70 @@ def test_classic_pdf_with_endobj_text_parses_end_to_end():
     pages = pdfparse.parse_pdf(data)
     texts = " ".join(t[0] for t in pages[0]["tokens"])
     assert "endobj appears in prose" in texts
+
+
+# ---- 4:1:1 JPEG (sampling factor 4): closes the 'factors > 2' boundary ----
+
+import numpy as np
+
+
+def _rgb_411(w, h, yfn, dcb, dcr):
+    cw = (w + 3) // 4
+    y = [yfn(x, yy) for yy in range(h) for x in range(w)]
+    cb = [128 + dcb] * (cw * h)
+    cr = [128 + dcr] * (cw * h)
+    return jpegcodec.decode_baseline(
+        jpegcodec.encode_baseline_ycbcr411(w, h, y, cb, cr)
+    )
+
+
+def test_jpeg411_region_constant_round_trip_is_analytic():
+    """32x8-region-constant Y + constant chroma under the flat quant
+    table decode to the closed-form RGB — the same exactness contract
+    the 4:2:0 path has, now at sampling factor 4 with non-MCU-aligned
+    dims (pad + crop exercised)."""
+    w, h, dcb, dcr = 36, 20, 3, -8
+    yfn = lambda x, yy: (2 * (x // 32) + (yy // 8) + 7) % 256
+    dw, dh, px = _rgb_411(w, h, yfn, dcb, dcr)
+    assert (dw, dh) == (w, h)
+    for yy in range(h):
+        for x in range(w):
+            yv = yfn(x, yy)
+            exp = (
+                int(np.clip(round(yv + 1.402 * dcr), 0, 255)),
+                int(np.clip(round(yv - 0.344136 * dcb - 0.714136 * dcr), 0, 255)),
+                int(np.clip(round(yv + 1.772 * dcb), 0, 255)),
+            )
+            assert px[yy * w + x] == exp, (x, yy)
+
+
+def test_jpeg411_neutral_chroma_matches_444():
+    """With NEUTRAL chroma the 4:1:1 and 4:4:4 encodings of the same
+    block-constant luma must decode identically (replicating a constant
+    chroma plane is lossless)."""
+    w, h = 32, 8
+    y = [(3 * (x // 8) + (yy // 8) + 5) % 256 for yy in range(h) for x in range(w)]
+    neutral_full = [128] * (w * h)
+    neutral_q = [128] * (((w + 3) // 4) * h)
+    a = jpegcodec.decode_baseline(
+        jpegcodec.encode_baseline_ycbcr(w, h, y, neutral_full, neutral_full)
+    )
+    b = jpegcodec.decode_baseline(
+        jpegcodec.encode_baseline_ycbcr411(w, h, y, neutral_q, neutral_q)
+    )
+    assert a == b
+
+
+def test_jpeg_sampling_factor_3_still_rejected():
+    """Factor 3 gives a non-integer upsampling ratio vs hmax=4 — the
+    boundary stays a documented NotImplementedError, not a wrong image."""
+    w, h = 32, 8
+    y = [100] * (w * h)
+    cq = [128] * (((w + 3) // 4) * h)
+    payload = bytearray(jpegcodec.encode_baseline_ycbcr411(w, h, y, cq, cq))
+    i = payload.index(bytes([2, 0x11, 1]))  # Cb component spec in SOF
+    payload[i + 1] = 0x31  # hi=3, vi=1
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        jpegcodec.decode_baseline(bytes(payload))

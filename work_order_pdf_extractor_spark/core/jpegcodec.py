@@ -531,6 +531,99 @@ def encode_baseline_ycbcr420(
     )
 
 
+def encode_baseline_ycbcr411(
+    width: int,
+    height: int,
+    y: list[int],
+    cb_quarter: list[int],
+    cr_quarter: list[int],
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+) -> bytes:
+    """Encode as baseline-sequential 4:1:1 COLOR JFIF — the DV/camcorder
+    lineage variant with sampling factors BEYOND 2 (luma 4×1): chroma at
+    QUARTER horizontal resolution (``ceil(w/4) × h``, supplied
+    already-downsampled). Each MCU covers 32×8 pixels and carries four Y
+    blocks in a horizontal row + one Cb + one Cr. Same table layout as
+    the other color encoders. This is the encoder half of closing the
+    'sampling factors > 2' codec boundary; :func:`decode_baseline`
+    handles any integer-ratio factors up to 4."""
+    lq = list(luma_quant or FLAT_QUANT)
+    cq = list(chroma_quant or FLAT_QUANT)
+    cw = (width + 3) // 4
+    yplane = _pad_plane(y, width, height)
+    cbp = _pad_plane(cb_quarter, cw, height)
+    crp = _pad_plane(cr_quarter, cw, height)
+    mcux, mcuy = (width + 31) // 32, (height + 7) // 8
+    yplane = np.pad(
+        yplane,
+        ((0, mcuy * 8 - yplane.shape[0]), (0, mcux * 32 - yplane.shape[1])),
+        mode="edge",
+    )
+    cbp = np.pad(
+        cbp,
+        ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])),
+        mode="edge",
+    )
+    crp = np.pad(
+        crp,
+        ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])),
+        mode="edge",
+    )
+    qmats = [
+        np.asarray(lq, dtype=np.float64).reshape(8, 8),
+        np.asarray(cq, dtype=np.float64).reshape(8, 8),
+    ]
+    luma_codes = (
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+    )
+    chroma_codes = (
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for h in range(4):  # four Y blocks in a horizontal row
+                r0, c0 = my * 8, mx * 32 + h * 8
+                preds[0] = _write_block(
+                    w, yplane[r0 : r0 + 8, c0 : c0 + 8],
+                    qmats[0], *luma_codes, preds[0],
+                )
+            preds[1] = _write_block(
+                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[1],
+            )
+            preds[2] = _write_block(
+                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                qmats[1], *chroma_codes, preds[2],
+            )
+    w.flush()
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, bytes([0x00]) + _zz_bytes(lq)
+               + bytes([0x01]) + _zz_bytes(cq))
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
 def encode_baseline_ycbcr422(
     width: int,
     height: int,
@@ -646,15 +739,16 @@ def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
 
 def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a baseline-sequential 8-bit JPEG — grayscale (1 component)
-    or YCbCr color with sampling factors up to 2×2 (4:4:4, 4:2:2 and
-    4:2:0 interleaved MCUs; per-component quant/Huffman selectors and DC
-    predictors; subsampled planes upsampled by sample replication) — to
+    or YCbCr color with integer-ratio sampling factors up to 4 (4:4:4,
+    4:2:2, 4:2:0 and 4:1:1 interleaved MCUs; per-component quant/Huffman
+    selectors and DC predictors; subsampled planes upsampled by sample
+    replication) — to
     RGB triples: marker walk (DQT/SOF0/DHT/DRI/SOS), restart-interval RSTn resync, canonical-Huffman
     entropy decode, dequantize, inverse zigzag, float IDCT, JFIF
     YCbCr→RGB for color, level shift, clamp, crop. A progressive (SOF2)
     frame dispatches to :func:`decode_progressive`. Outside the subset
-    (sampling factors > 2, 16-bit quant, hierarchical/lossless/arithmetic
-    SOFs) raises ``NotImplementedError``; corrupt streams raise
+    (sampling factor 3 / non-integer upsampling ratios, 16-bit quant,
+    hierarchical/lossless/arithmetic SOFs) raises ``NotImplementedError``; corrupt streams raise
     ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
@@ -701,9 +795,9 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
             for c in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
                 hi, vi = sampling >> 4, sampling & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "sampling factors beyond 2 unsupported"
+                        "sampling factors must be 1, 2 or 4"
                     )
                 if ncomp == 1 and sampling != 0x11:
                     raise NotImplementedError("grayscale must be 1x1 sampled")
@@ -738,6 +832,11 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
     # one-block-per-component case; 4:2:0 is 4 Y + 1 Cb + 1 Cr per MCU)
     hmax = max(h for _cid, _tq, h, _v in comp_specs)
     vmax = max(v for _cid, _tq, _h, v in comp_specs)
+    for _cid, _tq, h, v in comp_specs:
+        if hmax % h or vmax % v:
+            raise NotImplementedError(
+                "non-integer chroma upsampling ratio unsupported"
+            )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
@@ -1416,9 +1515,9 @@ def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, i
             for cn in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * cn : 9 + 3 * cn]
                 hi, vi = sampling >> 4, sampling & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "sampling factors beyond 2 unsupported"
+                        "sampling factors must be 1, 2 or 4"
                     )
                 comp_specs.append(
                     {"cid": cid, "tq": tq, "hi": hi, "vi": vi}

@@ -816,6 +816,53 @@ def media_jpeg420_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_jpeg411_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic 4:1:1 chroma-subsampled baseline JPEG
+    per document — the sampling-factor-4 variant (DV lineage) that
+    closes the 'sampling factors > 2' codec boundary. Dims
+    ``(32 + 4·(doc_id mod 3), 8 + 4·((doc_id//3) mod 4))`` (widths 36/40
+    and heights 12/20 are NOT multiples of the 32×8 MCU, so padding +
+    crop are exercised); Y constant per 32×8 region at
+    ``(2·rx + ry + doc_id) mod 256`` (every 8×8 block constant across
+    the edge-replicated pad → bit-exact round trip under the flat quant
+    table); chroma constant per doc at the SAME rounding-safe offsets as
+    the 4:2:0 fixture (``cb = 128 + 3·(doc_id mod 5) − 6``,
+    ``cr = 128 + 4·((doc_id//5) mod 5) − 8``)."""
+    from ..core.jpegcodec import encode_baseline_ycbcr411
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 32 + 4 * (did % 3)
+                h = 8 + 4 * ((did // 3) % 4)
+                y = [
+                    (2 * (x // 32) + (yy // 8) + did) % 256
+                    for yy in range(h)
+                    for x in range(w)
+                ]
+                cw = (w + 3) // 4
+                cb = [128 + 3 * (did % 5) - 6] * (cw * h)
+                cr = [128 + 4 * ((did // 5) % 5) - 8] * (cw * h)
+                payloads.append(encode_baseline_ycbcr411(w, h, y, cb, cr))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
 def media_progressive_jpeg_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a PROGRESSIVE (SOF2) 4:2:0 color JPEG per document —
     the other half of crawled-web JPEGs (multi-scan spectral selection +

@@ -2752,6 +2752,53 @@ FROM rgb GROUP BY 1, 2, 3
 """
 
 
+def q_jpeg411_decode(spark, sf_dir):
+    """4:1:1 chroma-subsampled JPEG decode end-to-end — sampling factor
+    4 (the DV/camcorder lineage), closing the 'sampling factors > 2'
+    codec boundary: 32×8 MCUs of four horizontal Y blocks + one Cb +
+    one Cr at quarter horizontal resolution, real entropy decode,
+    4× replication upsampling, JFIF YCbCr→RGB with NON-neutral chroma.
+    Oracle reproduces sum_luma analytically per 32×8 region (same
+    construction and rounding-safe chroma offsets as the 4:2:0 twin)."""
+    from .operators import multimodal
+
+    media = multimodal.media_jpeg411_from_documents(
+        ld(spark, sf_dir, "documents")
+    )
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "n_px", "sum_luma"
+    )
+
+
+SQL_JPEG411_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(32 + 4 * (doc_id % 3) AS INTEGER) AS width,
+         CAST(8 + 4 * (CAST(doc_id // 3 AS BIGINT) % 4) AS INTEGER) AS height,
+         CAST(3 * (doc_id % 5) - 6 AS DOUBLE) AS dcb,
+         CAST(4 * (CAST(doc_id // 5 AS BIGINT) % 5) - 8 AS DOUBLE) AS dcr
+  FROM documents),
+regions AS (
+  SELECT media_id, width, height, dcb, dcr, rx, ry,
+         CAST((2*rx + ry + media_id) % 256 AS DOUBLE) AS yv,
+         LEAST(32, width - 32*rx) AS rw,
+         LEAST(8, height - 8*ry) AS rh
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, CAST((width + 31) // 32 AS BIGINT) - 1)) AS rx),
+       LATERAL (SELECT unnest(generate_series(0, CAST((height + 7) // 8 AS BIGINT) - 1)) AS ry)),
+rgb AS (
+  SELECT media_id, width, height, rw, rh,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.402 * dcr))) AS BIGINT) AS r,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv - 0.344136 * dcb - 0.714136 * dcr))) AS BIGINT) AS g,
+         CAST(GREATEST(0, LEAST(255, ROUND(yv + 1.772 * dcb))) AS BIGINT) AS b
+  FROM regions)
+SELECT media_id, width, height,
+       CAST(width * height AS INTEGER) AS n_px,
+       CAST(SUM(rw * rh * ((299*r + 587*g + 114*b) // 1000)) AS BIGINT) AS sum_luma
+FROM rgb GROUP BY 1, 2, 3
+"""
+
+
 def q_jpeg_progressive_decode(spark, sf_dir):
     """PROGRESSIVE (SOF2) 4:2:0 JPEG decode end-to-end — the other half
     of crawled-web JPEGs: multi-scan spectral selection + successive
@@ -4789,6 +4836,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
     "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
     "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
+    "jpeg411_decode": (q_jpeg411_decode, SQL_JPEG411_DECODE),
     "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
