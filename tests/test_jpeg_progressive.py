@@ -230,3 +230,25 @@ def test_property_color420_progressive_equals_baseline(w, h, seed):
         J.encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="420")
     )
     assert base == prog
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    w=st.sampled_from([32, 36, 33]),
+    h=st.sampled_from([8, 9, 20]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_color411_progressive_equals_baseline(w, h, seed):
+    """r6: the progressive scan machinery is sampling-factor-agnostic —
+    4:1:1 (factor 4) streams decode bit-identically to their baseline
+    encodings for arbitrary content."""
+    rng = np.random.RandomState(seed)
+    cw = (w + 3) // 4
+    y = rng.randint(0, 256, size=w * h).tolist()
+    cb = rng.randint(0, 256, size=cw * h).tolist()
+    cr = rng.randint(0, 256, size=cw * h).tolist()
+    base = J.decode_baseline(J.encode_baseline_ycbcr411(w, h, y, cb, cr))
+    prog = J.decode_baseline(
+        J.encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="411")
+    )
+    assert base == prog

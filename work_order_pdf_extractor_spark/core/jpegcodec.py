@@ -1272,9 +1272,10 @@ def encode_progressive_ycbcr(
     subsampling: str = "444",
 ) -> bytes:
     """Encode three YCbCr planes as a PROGRESSIVE (SOF2) color JFIF —
-    ``subsampling="444"`` (full-resolution chroma) or ``"420"`` (chroma
-    supplied at half resolution, ``ceil(w/2) × ceil(h/2)``, luma sampled
-    2×2). Uses the libjpeg default color scan script: interleaved DC
+    ``subsampling="444"`` (full-resolution chroma), ``"420"`` (chroma at
+    half resolution, ``ceil(w/2) × ceil(h/2)``, luma sampled 2×2) or
+    ``"411"`` (chroma at quarter horizontal resolution,
+    ``ceil(w/4) × h``, luma sampled 4×1 — r6). Uses the libjpeg default color scan script: interleaved DC
     first, per-component AC band scans, successive-approximation
     refinements, with per-scan optimized Huffman tables."""
     lq, cq = list(luma_quant or FLAT_QUANT), list(chroma_quant or FLAT_QUANT)
@@ -1296,6 +1297,16 @@ def encode_progressive_ycbcr(
         cbp = np.pad(cbp, ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])), mode="edge")
         crp = np.pad(crp, ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])), mode="edge")
         planes = [(yp, lqm, 2, 2), (cbp, cqm, 1, 1), (crp, cqm, 1, 1)]
+    elif subsampling == "411":
+        cw = (width + 3) // 4
+        mcux, mcuy = (width + 31) // 32, (height + 7) // 8
+        yp = _pad_plane(y, width, height)
+        yp = np.pad(yp, ((0, mcuy * 8 - yp.shape[0]), (0, mcux * 32 - yp.shape[1])), mode="edge")
+        cbp = _pad_plane(cb, cw, height)
+        crp = _pad_plane(cr, cw, height)
+        cbp = np.pad(cbp, ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])), mode="edge")
+        crp = np.pad(crp, ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])), mode="edge")
+        planes = [(yp, lqm, 4, 1), (cbp, cqm, 1, 1), (crp, cqm, 1, 1)]
     else:
         raise NotImplementedError(f"subsampling {subsampling!r}")
     hmax = max(p[2] for p in planes)
@@ -1524,6 +1535,11 @@ def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, i
                 )
             hmax = max(c["hi"] for c in comp_specs)
             vmax = max(c["vi"] for c in comp_specs)
+            for c in comp_specs:
+                if hmax % c["hi"] or vmax % c["vi"]:
+                    raise NotImplementedError(
+                        "non-integer chroma upsampling ratio unsupported"
+                    )
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             mcu_grid = (mcuy, mcux)
