@@ -252,3 +252,22 @@ def test_property_color411_progressive_equals_baseline(w, h, seed):
         J.encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="411")
     )
     assert base == prog
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    w=st.sampled_from([16, 20, 17]),
+    h=st.sampled_from([8, 9, 12]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_color422_progressive_equals_baseline(w, h, seed):
+    rng = np.random.RandomState(seed)
+    cw = (w + 1) // 2
+    y = rng.randint(0, 256, size=w * h).tolist()
+    cb = rng.randint(0, 256, size=cw * h).tolist()
+    cr = rng.randint(0, 256, size=cw * h).tolist()
+    base = J.decode_baseline(J.encode_baseline_ycbcr422(w, h, y, cb, cr))
+    prog = J.decode_baseline(
+        J.encode_progressive_ycbcr(w, h, y, cb, cr, subsampling="422")
+    )
+    assert base == prog

@@ -1274,8 +1274,11 @@ def encode_progressive_ycbcr(
     """Encode three YCbCr planes as a PROGRESSIVE (SOF2) color JFIF —
     ``subsampling="444"`` (full-resolution chroma), ``"420"`` (chroma at
     half resolution, ``ceil(w/2) × ceil(h/2)``, luma sampled 2×2) or
-    ``"411"`` (chroma at quarter horizontal resolution,
-    ``ceil(w/4) × h``, luma sampled 4×1 — r6). Uses the libjpeg default color scan script: interleaved DC
+    ``"422"`` (chroma at half horizontal
+    resolution, ``ceil(w/2) × h``, luma 2×1) or ``"411"`` (chroma at
+    quarter horizontal resolution, ``ceil(w/4) × h``, luma 4×1) — the
+    last two added r6, completing the subsampling matrix the baseline
+    encoders already cover. Uses the libjpeg default color scan script: interleaved DC
     first, per-component AC band scans, successive-approximation
     refinements, with per-scan optimized Huffman tables."""
     lq, cq = list(luma_quant or FLAT_QUANT), list(chroma_quant or FLAT_QUANT)
@@ -1297,6 +1300,16 @@ def encode_progressive_ycbcr(
         cbp = np.pad(cbp, ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])), mode="edge")
         crp = np.pad(crp, ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])), mode="edge")
         planes = [(yp, lqm, 2, 2), (cbp, cqm, 1, 1), (crp, cqm, 1, 1)]
+    elif subsampling == "422":
+        cw = (width + 1) // 2
+        mcux, mcuy = (width + 15) // 16, (height + 7) // 8
+        yp = _pad_plane(y, width, height)
+        yp = np.pad(yp, ((0, mcuy * 8 - yp.shape[0]), (0, mcux * 16 - yp.shape[1])), mode="edge")
+        cbp = _pad_plane(cb, cw, height)
+        crp = _pad_plane(cr, cw, height)
+        cbp = np.pad(cbp, ((0, mcuy * 8 - cbp.shape[0]), (0, mcux * 8 - cbp.shape[1])), mode="edge")
+        crp = np.pad(crp, ((0, mcuy * 8 - crp.shape[0]), (0, mcux * 8 - crp.shape[1])), mode="edge")
+        planes = [(yp, lqm, 2, 1), (cbp, cqm, 1, 1), (crp, cqm, 1, 1)]
     elif subsampling == "411":
         cw = (width + 3) // 4
         mcux, mcuy = (width + 31) // 32, (height + 7) // 8
