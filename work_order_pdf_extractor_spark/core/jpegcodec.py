@@ -259,10 +259,25 @@ def _write_block(
     prev_dc: int,
 ) -> int:
     """FDCT + quantize + zigzag + Huffman-encode one 8×8 block; returns
-    the new DC predictor."""
+    the new DC predictor. (r7: the numeric half lives in
+    :func:`_quant_plane_blocks` batched form at the encoder call sites;
+    this per-block form remains the reference twin.)"""
     coef = _C @ (block - 128.0) @ _C.T
     qcoef = np.round(coef / qmat).astype(np.int64)
     zz = [int(qcoef.flat[ZIGZAG[i]]) for i in range(64)]
+    return _write_zz(w, zz, dc_codes, ac_codes, prev_dc)
+
+
+def _write_zz(
+    w: _BitWriter,
+    zz: list[int],
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Huffman-encode one block's 64 zigzag-order quantized coefficients
+    (the entropy half of :func:`_write_block`); returns the new DC
+    predictor."""
     size, bits = _magnitude(zz[0] - prev_dc)
     code, ln = dc_codes[size]
     w.write(code, ln)
@@ -319,15 +334,16 @@ def encode_baseline_gray(
     w = _BitWriter()
     prev_dc = 0
     mcu = rst = 0
+    zzg = _quant_plane_blocks(padded, qmat)  # r7: batched FDCT+quant
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.restart(rst)
                 rst = (rst + 1) & 7
                 prev_dc = 0
-            prev_dc = _write_block(
-                w, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                qmat, dc_codes, ac_codes, prev_dc,
+            prev_dc = _write_zz(
+                w, zzg[by, bx].tolist(),
+                dc_codes, ac_codes, prev_dc,
             )
             mcu += 1
     w.flush()
@@ -400,16 +416,20 @@ def encode_baseline_ycbcr(
     w = _BitWriter()
     preds = [0, 0, 0]
     mcu = rst = 0
+    # r7: batched FDCT+quant per component plane
+    zzgs = [
+        (_quant_plane_blocks(plane, qmat), dcc, acc)
+        for plane, qmat, (dcc, acc) in comps
+    ]
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.restart(rst)
                 rst = (rst + 1) & 7
                 preds = [0, 0, 0]
-            for ci, (plane, qmat, (dcc, acc)) in enumerate(comps):
-                preds[ci] = _write_block(
-                    w, plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    qmat, dcc, acc, preds[ci],
+            for ci, (zzg, dcc, acc) in enumerate(zzgs):
+                preds[ci] = _write_zz(
+                    w, zzg[by, bx].tolist(), dcc, acc, preds[ci]
                 )
             mcu += 1
     w.flush()
@@ -490,22 +510,23 @@ def encode_baseline_ycbcr420(
     )
     w = _BitWriter()
     preds = [0, 0, 0]
+    # r7: batched FDCT+quant per plane
+    yzz = _quant_plane_blocks(yplane, qmats[0])
+    cbzz = _quant_plane_blocks(cbp, qmats[1])
+    crzz = _quant_plane_blocks(crp, qmats[1])
     for my in range(mcuy):
         for mx in range(mcux):
             for v in range(2):  # four Y blocks, 2x2 raster order
                 for h in range(2):
-                    r0, c0 = my * 16 + v * 8, mx * 16 + h * 8
-                    preds[0] = _write_block(
-                        w, yplane[r0 : r0 + 8, c0 : c0 + 8],
-                        qmats[0], *luma_codes, preds[0],
+                    preds[0] = _write_zz(
+                        w, yzz[my * 2 + v, mx * 2 + h].tolist(),
+                        *luma_codes, preds[0],
                     )
-            preds[1] = _write_block(
-                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[1],
+            preds[1] = _write_zz(
+                w, cbzz[my, mx].tolist(), *chroma_codes, preds[1]
             )
-            preds[2] = _write_block(
-                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[2],
+            preds[2] = _write_zz(
+                w, crzz[my, mx].tolist(), *chroma_codes, preds[2]
             )
     w.flush()
     dht = (
@@ -584,21 +605,21 @@ def encode_baseline_ycbcr411(
     )
     w = _BitWriter()
     preds = [0, 0, 0]
+    # r7: batched FDCT+quant per plane
+    yzz = _quant_plane_blocks(yplane, qmats[0])
+    cbzz = _quant_plane_blocks(cbp, qmats[1])
+    crzz = _quant_plane_blocks(crp, qmats[1])
     for my in range(mcuy):
         for mx in range(mcux):
             for h in range(4):  # four Y blocks in a horizontal row
-                r0, c0 = my * 8, mx * 32 + h * 8
-                preds[0] = _write_block(
-                    w, yplane[r0 : r0 + 8, c0 : c0 + 8],
-                    qmats[0], *luma_codes, preds[0],
+                preds[0] = _write_zz(
+                    w, yzz[my, mx * 4 + h].tolist(), *luma_codes, preds[0]
                 )
-            preds[1] = _write_block(
-                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[1],
+            preds[1] = _write_zz(
+                w, cbzz[my, mx].tolist(), *chroma_codes, preds[1]
             )
-            preds[2] = _write_block(
-                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[2],
+            preds[2] = _write_zz(
+                w, crzz[my, mx].tolist(), *chroma_codes, preds[2]
             )
     w.flush()
     dht = (
@@ -674,21 +695,21 @@ def encode_baseline_ycbcr422(
     )
     w = _BitWriter()
     preds = [0, 0, 0]
+    # r7: batched FDCT+quant per plane
+    yzz = _quant_plane_blocks(yplane, qmats[0])
+    cbzz = _quant_plane_blocks(cbp, qmats[1])
+    crzz = _quant_plane_blocks(crp, qmats[1])
     for my in range(mcuy):
         for mx in range(mcux):
             for h in range(2):  # two Y blocks side by side
-                r0, c0 = my * 8, mx * 16 + h * 8
-                preds[0] = _write_block(
-                    w, yplane[r0 : r0 + 8, c0 : c0 + 8],
-                    qmats[0], *luma_codes, preds[0],
+                preds[0] = _write_zz(
+                    w, yzz[my, mx * 2 + h].tolist(), *luma_codes, preds[0]
                 )
-            preds[1] = _write_block(
-                w, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[1],
+            preds[1] = _write_zz(
+                w, cbzz[my, mx].tolist(), *chroma_codes, preds[1]
             )
-            preds[2] = _write_block(
-                w, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                qmats[1], *chroma_codes, preds[2],
+            preds[2] = _write_zz(
+                w, crzz[my, mx].tolist(), *chroma_codes, preds[2]
             )
     w.flush()
     dht = (
@@ -711,6 +732,48 @@ def encode_baseline_ycbcr422(
         + _seg(0xDA, sos)
         + bytes(w.out)
         + b"\xff\xd9"
+    )
+
+
+def _batch_idct_grid(
+    zz_blocks, qmat: np.ndarray, grid_h: int, grid_w: int, bv: int, bh: int
+) -> np.ndarray:
+    """Dequantize + inverse-zigzag + IDCT a component's blocks IN BATCH
+    and assemble the plane (r7, guide §4.2). ``zz_blocks`` is an
+    (n_blocks, 64) array of zigzag-order quantized coefficients in
+    (mcu_y, mcu_x, v, h) emission order. Bit-identical to the per-block
+    ``_C.T @ (coef * qmat) @ _C`` loop: the stacked matmul runs the same
+    8×8 GEMM kernel per slice (asserted by differential test)."""
+    nb = grid_h * grid_w * bv * bh
+    coef = np.zeros((nb, 64), dtype=np.float64)
+    coef[:, ZIGZAG] = zz_blocks
+    blocks = coef.reshape(nb, 8, 8) * qmat[None]
+    out = _C.T[None] @ blocks @ _C[None]
+    return (
+        out.reshape(grid_h, grid_w, bv, bh, 8, 8)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(grid_h * bv * 8, grid_w * bh * 8)
+    )
+
+
+def _planes_to_rgb_arrays(planes, height: int, width: int):
+    """Shared decode tail: level shift / JFIF YCbCr→RGB, clamp, crop —
+    returns (rr, gg, bb) int64 arrays of shape (height·width,)."""
+    if len(planes) == 1:
+        v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)
+        v = v[:height, :width].ravel()
+        return v, v, v
+    yp = planes[0] + 128.0
+    cbp, crp = planes[1], planes[2]
+    rr = np.clip(np.round(yp + 1.402 * crp), 0, 255).astype(np.int64)
+    gg = np.clip(
+        np.round(yp - 0.344136 * cbp - 0.714136 * crp), 0, 255
+    ).astype(np.int64)
+    bb = np.clip(np.round(yp + 1.772 * cbp), 0, 255).astype(np.int64)
+    return (
+        rr[:height, :width].ravel(),
+        gg[:height, :width].ravel(),
+        bb[:height, :width].ravel(),
     )
 
 
@@ -738,15 +801,29 @@ def _read_block(r: _BitReader, dct: dict, act: dict, prev_dc: int):
 
 
 def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a baseline-sequential 8-bit JPEG to RGB triples (see
+    :func:`decode_rgb_arrays`, which this wraps — the tuple list is the
+    long-standing API; array consumers use the arrays directly)."""
+    width, height, (rr, gg, bb) = decode_rgb_arrays(payload)
+    return width, height, [
+        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
+    ]
+
+
+def decode_rgb_arrays(
+    payload: bytes,
+) -> tuple[int, int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Decode a baseline-sequential 8-bit JPEG — grayscale (1 component)
     or YCbCr color with integer-ratio sampling factors up to 4 (4:4:4,
     4:2:2, 4:2:0 and 4:1:1 interleaved MCUs; per-component quant/Huffman
     selectors and DC predictors; subsampled planes upsampled by sample
     replication) — to
-    RGB triples: marker walk (DQT/SOF0/DHT/DRI/SOS), restart-interval RSTn resync, canonical-Huffman
-    entropy decode, dequantize, inverse zigzag, float IDCT, JFIF
+    (rr, gg, bb) int64 arrays: marker walk (DQT/SOF0/DHT/DRI/SOS), restart-interval RSTn resync, canonical-Huffman
+    entropy decode, then batched dequantize / inverse zigzag / float
+    IDCT (r7: one stacked matmul per component instead of per-block
+    numpy calls — bit-identical, differential-tested), JFIF
     YCbCr→RGB for color, level shift, clamp, crop. A progressive (SOF2)
-    frame dispatches to :func:`decode_progressive`. Outside the subset
+    frame dispatches to the progressive decoder. Outside the subset
     (sampling factor 3 / non-integer upsampling ratios, 16-bit quant,
     hierarchical/lossless/arithmetic SOFs) raises ``NotImplementedError``; corrupt streams raise
     ``ValueError``."""
@@ -783,7 +860,7 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
                 quants[tq] = tbl.reshape(8, 8)
                 off += 65
         elif marker == 0xC2:  # progressive frame: hand off wholesale
-            return decode_progressive(payload)
+            return _decode_progressive_arrays(payload)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline (SOF0) / progressive (SOF2) JPEG")
         elif marker == 0xC0:  # SOF0
@@ -839,10 +916,9 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
             )
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for _cid, _tq, h, v in comp_specs
-    ]
+    # entropy decode (inherently sequential) collects each component's
+    # zigzag coefficient rows; the numeric pipeline then runs batched
+    comp_zz: list[list] = [[] for _ in comp_specs]
     r = _BitReader(payload, pos)
     preds = [0] * len(comp_specs)
     mcu = rst = 0
@@ -855,45 +931,26 @@ def decode_baseline(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]
             mcu += 1
             for ci, (cid, tq, hi, vi) in enumerate(comp_specs):
                 dsel, asel = scan_sel[cid]
-                for v in range(vi):
-                    for h in range(hi):
+                for _v in range(vi):
+                    for _h in range(hi):
                         zz, preds[ci] = _read_block(
                             r, dc_tables[dsel], ac_tables[asel], preds[ci]
                         )
-                        coef = np.zeros(64)
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i]
-                        block = _C.T @ (coef.reshape(8, 8) * quants[tq]) @ _C
-                        r0 = (my * vi + v) * 8
-                        c0 = (mx * hi + h) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+                        comp_zz[ci].append(zz)
+    planes = [
+        _batch_idct_grid(
+            np.asarray(comp_zz[ci], dtype=np.float64),
+            quants[tq], mcuy, mcux, vi, hi,
+        )
+        for ci, (_cid, tq, hi, vi) in enumerate(comp_specs)
+    ]
     # upsample subsampled planes to full resolution by sample replication
     for ci, (_cid, _tq, hi, vi) in enumerate(comp_specs):
         if hi != hmax or vi != vmax:
             planes[ci] = np.repeat(
                 np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1
             )
-
-    if len(planes) == 1:
-        v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)
-        v = v[:height, :width].ravel()
-        return width, height, [(int(s), int(s), int(s)) for s in v]
-    # JFIF YCbCr -> RGB (full-range)
-    yp = planes[0] + 128.0
-    cbp, crp = planes[1], planes[2]  # already centered (level shift = +128-128)
-    rr = np.clip(np.round(yp + 1.402 * crp), 0, 255).astype(np.int64)
-    gg = np.clip(
-        np.round(yp - 0.344136 * cbp - 0.714136 * crp), 0, 255
-    ).astype(np.int64)
-    bb = np.clip(np.round(yp + 1.772 * cbp), 0, 255).astype(np.int64)
-    rr, gg, bb = (
-        rr[:height, :width].ravel(),
-        gg[:height, :width].ravel(),
-        bb[:height, :width].ravel(),
-    )
-    return width, height, [
-        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
-    ]
+    return width, height, _planes_to_rgb_arrays(planes, height, width)
 
 
 def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
@@ -901,10 +958,16 @@ def decode_baseline_gray(payload: bytes) -> tuple[int, int, list[int]]:
     triples. For a grayscale stream this is exactly the decoded sample
     (``(299+587+114)·v // 1000 == v``); for color it is the standard
     luma reduction."""
-    width, height, rgb = decode_baseline(payload)
-    return width, height, [
-        (299 * r + 587 * g + 114 * b) // 1000 for r, g, b in rgb
-    ]
+    width, height, lum = decode_gray_array(payload)
+    return width, height, [int(s) for s in lum]
+
+
+def decode_gray_array(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Array twin of :func:`decode_baseline_gray` (r7): the BT.601 luma
+    reduction computed vectorized over the decoded RGB arrays — the
+    per-pixel tuple materialization skipped entirely."""
+    width, height, (rr, gg, bb) = decode_rgb_arrays(payload)
+    return width, height, (299 * rr + 587 * gg + 114 * bb) // 1000
 
 
 # ===========================================================================
@@ -1028,16 +1091,18 @@ class _SymWriter:
 
 def _quant_plane_blocks(plane: np.ndarray, qmat: np.ndarray) -> np.ndarray:
     """FDCT + quantize every 8×8 block of an (8-aligned) plane; returns
-    an (bh, bw, 64) int64 array in ZIGZAG coefficient order."""
+    an (bh, bw, 64) int64 array in ZIGZAG coefficient order. r7: one
+    stacked matmul over all blocks (bit-identical to the per-block
+    ``_C @ (block-128) @ _C.T`` loop — same GEMM kernel per slice;
+    differential-tested)."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    out = np.zeros((bh, bw, 64), dtype=np.int64)
-    inv = np.array(ZIGZAG)
-    for by in range(bh):
-        for bx in range(bw):
-            coef = _C @ (plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _C.T
-            q = np.round(coef / qmat).astype(np.int64)
-            out[by, bx] = q.flat[inv]
-    return out
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coef = _C[None, None] @ blocks @ _C.T[None, None]
+    q = np.round(coef / qmat).astype(np.int64)
+    return q.reshape(bh, bw, 64)[:, :, ZIGZAG]
 
 
 def _ac_shift(v: int, al: int) -> int:
@@ -1477,14 +1542,26 @@ def _decode_prog_scan(
 
 
 def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Decode a PROGRESSIVE (SOF2) 8-bit JPEG to RGB triples: multi-scan
-    marker walk (tables may be redefined between scans), spectral
-    selection and successive approximation for DC and AC (EOBRUN,
-    ZRL-in-refinement, buffered correction bits), coefficients
-    accumulated across scans, then the same dequant / inverse zigzag /
-    float IDCT / replication upsample / JFIF YCbCr→RGB finish as
-    :func:`decode_baseline`. Restart intervals inside progressive scans
-    and arithmetic coding raise ``NotImplementedError``."""
+    """Decode a PROGRESSIVE (SOF2) 8-bit JPEG to RGB triples (tuple-list
+    wrapper over :func:`_decode_progressive_arrays` — the long-standing
+    API)."""
+    width, height, (rr, gg, bb) = _decode_progressive_arrays(payload)
+    return width, height, [
+        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
+    ]
+
+
+def _decode_progressive_arrays(
+    payload: bytes,
+) -> tuple[int, int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode a PROGRESSIVE (SOF2) 8-bit JPEG to (rr, gg, bb) arrays:
+    multi-scan marker walk (tables may be redefined between scans),
+    spectral selection and successive approximation for DC and AC
+    (EOBRUN, ZRL-in-refinement, buffered correction bits), coefficients
+    accumulated across scans, then the same (r7: batched) dequant /
+    inverse zigzag / float IDCT / replication upsample / JFIF YCbCr→RGB
+    finish as the baseline decoder. Restart intervals inside progressive
+    scans and arithmetic coding raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
@@ -1603,22 +1680,16 @@ def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, i
     if width is None or not comp_specs:
         raise ValueError("missing SOF2 frame header")
 
-    # finish: dequant + inverse zigzag + IDCT per block, then the same
-    # upsample/color tail as the baseline decoder
-    inv = np.array(ZIGZAG)
+    # finish: batched dequant + inverse zigzag + IDCT (r7), then the
+    # same upsample/color tail as the baseline decoder
     planes = []
     for ci, c in enumerate(comp_specs):
         grid = coefs[ci]
         gh, gw = grid.shape[0], grid.shape[1]
-        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
-        qmat = quants[c["tq"]]
-        for by in range(gh):
-            for bx in range(gw):
-                coef = np.zeros(64)
-                coef[inv] = grid[by, bx]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ (coef.reshape(8, 8) * qmat) @ _C
-                )
+        plane = _batch_idct_grid(
+            grid.reshape(gh * gw, 64).astype(np.float64),
+            quants[c["tq"]], gh, gw, 1, 1,
+        )
         if c["hi"] != hmax or c["vi"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["vi"], axis=0),
@@ -1626,23 +1697,5 @@ def decode_progressive(payload: bytes) -> tuple[int, int, list[tuple[int, int, i
                 axis=1,
             )
         planes.append(plane)
-    if len(planes) == 1:
-        v = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.int64)
-        v = v[:height, :width].ravel()
-        return width, height, [(int(s), int(s), int(s)) for s in v]
-    yp = planes[0] + 128.0
-    cbp, crp = planes[1], planes[2]
-    rr = np.clip(np.round(yp + 1.402 * crp), 0, 255).astype(np.int64)
-    gg = np.clip(
-        np.round(yp - 0.344136 * cbp - 0.714136 * crp), 0, 255
-    ).astype(np.int64)
-    bb = np.clip(np.round(yp + 1.772 * cbp), 0, 255).astype(np.int64)
-    rr, gg, bb = (
-        rr[:height, :width].ravel(),
-        gg[:height, :width].ravel(),
-        bb[:height, :width].ravel(),
-    )
-    return width, height, [
-        (int(a), int(b), int(c)) for a, b, c in zip(rr, gg, bb)
-    ]
+    return width, height, _planes_to_rgb_arrays(planes, height, width)
 

@@ -18,8 +18,14 @@ from .common import (  # noqa: F401  (re-exported: long-time import site)
     FANOUT_CONF,
     ensure_parallelism,
     stable_hash64,
-    word_shingles,
 )
+
+# r7: every internal shingle derivation uses the vectorized twin — one
+# Arrow pass with per-doc set semantics instead of explode + interpreted
+# concat_ws + a full distinct shuffle; differential-tested identical to
+# common.word_shingles (tests/test_shinglefast.py). The rebind keeps the
+# long-standing `dedup.word_shingles` import site working.
+from .shinglefast import word_shingles_fast as word_shingles  # noqa: F401
 
 N_MINHASH = 8
 LSH_BANDS = 4
@@ -142,14 +148,25 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        a, b = sh.alias("a"), sh.alias("b")
+        # r7 (guide §2.4): the all-pairs branch used a shingle self-join —
+        # two probe passes over the same table and a generated row per
+        # ORDERED pair that the a<b filter then halved. One groupBy to a
+        # sorted per-shingle posting list + a slice-explode generates each
+        # unordered co-occurrence exactly once: half the rows into the
+        # pair aggregation, no join build, identical (doc1, doc2, count)s.
+        lists = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
         common = (
-            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("doc1"),
-                F.col(f"b.{id_col}").alias("doc2"),
+            lists.filter(F.size("ids") > 1)
+            .select(F.posexplode("ids").alias("i", "doc1"), "ids")
+            .select(
+                "doc1",
+                F.explode(
+                    F.slice("ids", F.col("i") + 2, F.size("ids"))
+                ).alias("doc2"),
             )
+            .groupBy("doc1", "doc2")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
@@ -607,20 +624,12 @@ def positioned_shingles(
     """``(id, pos, shingle)`` — every n-word shingle WITH its start
     position, NOT deduplicated: the input for span-level analyses
     (repeated-span audit) where :func:`word_shingles`'s set semantics
-    would lose the positions. Same JVM-side split + sequence/explode
-    plan shape."""
-    words = ensure_parallelism(
-        df.select(id_col, F.split(text_col, " ").alias("ws"))
-    )
-    sz = F.size("ws")
-    idx = F.sequence(F.lit(0), sz - n)
-    sh = words.filter(sz >= n).select(
-        id_col, F.explode(idx).alias("pos"), "ws"
-    )
-    parts = [F.col("ws")[F.col("pos") + k] for k in range(n)]
-    return sh.select(
-        id_col, "pos", F.concat_ws(" ", *parts).alias("shingle")
-    )
+    would lose the positions. r7: delegates to the vectorized twin
+    (``shinglefast.positioned_shingles_fast``) — identical rows, no
+    interpreted per-position concat."""
+    from .shinglefast import positioned_shingles_fast
+
+    return positioned_shingles_fast(df, n, text_col, id_col)
 
 
 def repeated_spans(
@@ -723,15 +732,31 @@ def containment_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        a, b = sh.alias("a"), sh.alias("b")
-        common = (
-            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("doc1"),
-                F.col(f"b.{id_col}").alias("doc2"),
+        # r7: same posting-list pair generation as the Jaccard all-pairs
+        # branch — count each unordered pair once, then mirror (the
+        # intersection is symmetric), instead of a self-join that
+        # aggregates both directions independently.
+        lists = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        half = (
+            lists.filter(F.size("ids") > 1)
+            .select(F.posexplode("ids").alias("i", "d1"), "ids")
+            .select(
+                "d1",
+                F.explode(
+                    F.slice("ids", F.col("i") + 2, F.size("ids"))
+                ).alias("d2"),
             )
+            .groupBy("d1", "d2")
             .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        common = half.select(
+            F.col("d1").alias("doc1"), F.col("d2").alias("doc2"), "n_common"
+        ).unionByName(
+            half.select(
+                F.col("d2").alias("doc1"), F.col("d1").alias("doc2"), "n_common"
+            )
         )
     sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
     return (

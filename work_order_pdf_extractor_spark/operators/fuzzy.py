@@ -55,7 +55,8 @@ def fuzzy_semi_join(
     edits (ties broken by smaller distance, then lexicographic key), or
     no row if none. ``max_dist`` must be 1 — depth-1 deletion blocking
     is complete exactly for distance ≤ 1 (deeper neighborhoods would be
-    needed beyond that, and the guarantee is the point).
+    needed beyond that, and the guarantee is the point). ``id_col`` must
+    identify probe rows uniquely (it keys the winner-per-probe window).
 
     Plan shape: with ``broadcast_ref`` (the default — reference key sets
     are dim-sized even when the probe side is the 100-TB fact) the
@@ -71,44 +72,67 @@ def fuzzy_semi_join(
     fact-sized (both sides then shuffle on the variant key)."""
     if max_dist != 1:
         raise ValueError("deletion blocking at depth 1 covers max_dist=1 only")
-    # Hash-repartition the probe by its id BEFORE the explode, under the
-    # same conf gate as the dedup family's fan-out. Two birds: (a) a
-    # small probe that scans as one task (the sandbox shape — a 1.5 MB
-    # parquet file never splits past Spark's 4 MB open-cost floor) fans
-    # out to cluster parallelism before the explode/verify work, and
-    # (b) because the partitioning is hashpartitioning(id), the closing
-    # row_number window's Exchange is satisfied and ELIDED — the plan
-    # carries exactly one probe-side shuffle, of bare pre-explode keys,
-    # wherever it lands. At real scale the gate turns this off and the
-    # only shuffle is the window over verified matches.
-    from .common import FANOUT_CONF
+    pv0 = probe.select(id_col, F.col(probe_key).alias("pkey"))
+    rk = ref.select(F.col(ref_key).alias("rkey")).distinct()
 
-    spark = probe.sparkSession
-    pv = probe.select(id_col, F.col(probe_key).alias("pkey"))
-    if spark.conf.get(FANOUT_CONF, "true").lower() == "true":
-        pv = pv.repartition(
-            spark.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    # two-step select: aliasing a column and exploding a function of the
-    # same alias in ONE select trips Spark 4's lateral-column-alias check
-    pv = pv.withColumn("v", F.explode(deletion_variants(F.col("pkey"))))
-    # dedupe reference keys BEFORE the variant explode: the shuffle (if
-    # any) moves bare keys, not len(key)+1 variants per key, and
-    # ``deletion_variants`` is already array_distinct within a key, so
-    # (rkey, v) pairs are unique without a post-explode distinct
-    rv = (
-        ref.select(F.col(ref_key).alias("rkey"))
-        .distinct()
-        .withColumn("v", F.explode(deletion_variants(F.col("rkey"))))
+    # r7 EXACT-MATCH SHORT-CIRCUIT: a probe whose key exists verbatim in
+    # the reference set always wins its own window at dist 0 (dist-0
+    # candidates beat every dist-1 candidate, and only rkey == pkey can
+    # be dist 0 — unique after the rkey distinct), so those probes skip
+    # variant generation, candidate join, levenshtein AND the window
+    # entirely — one semi-join on the bare key decides them. Only the
+    # MISS minority (noisy keys — the realistic deployment shape) pays
+    # the fuzzy machinery. Output provably identical.
+    if broadcast_ref:
+        rk_probe = F.broadcast(rk)
+    else:
+        rk_probe = rk
+    exact_out = pv0.join(
+        rk_probe, pv0["pkey"] == rk["rkey"], "left_semi"
+    ).select(
+        id_col,
+        F.col("pkey").alias("probe_key"),
+        F.col("pkey").alias("matched_key"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    misses = pv0.join(rk_probe, pv0["pkey"] == rk["rkey"], "left_anti")
+
+    # NOTE (r7): the old pre-explode repartition(id) is gone — the Arrow
+    # variant pass cannot advertise its partitioning to the planner, so
+    # keeping it would ADD an exchange instead of eliding the window's.
+    # The probe side now carries exactly one shuffle: the closing window
+    # over VERIFIED rows (post-reduction, the smallest set in the plan).
+    # Scan-level parallelism is guaranteed by the session's
+    # files.minPartitionNum floor (the fan-out gate existed for
+    # single-task scans of tiny inputs; with the variant pass vectorized
+    # the remaining single-task cost is the Arrow batch itself, which
+    # the floor already splits), so the fan-out conf gate is retired on
+    # this path.
+    # r7: variant generation runs in one Arrow pass (_explode_variants —
+    # the interpreted per-variant substring/concat chain was a measured
+    # 2.5 s per side at sf1), and the candidate join keys on xxhash64(v)
+    # — 8 bytes instead of a len(key)-char string (guide §2.3), with a
+    # LongHashedRelation broadcast build. Provably result-identical even
+    # under hash collisions: a collision-added candidate either has
+    # dist ≤ 1 (then it already shared a TRUE deletion variant and was a
+    # candidate anyway — the closing row_number window deduplicates) or
+    # dist > 1 (the levenshtein verify drops it); NULL-key rows hash
+    # equal but verify to NULL distance and are dropped, matching the
+    # original never-joins-on-NULL behavior.
+    pv = _explode_variants(misses, "pkey").select(
+        id_col, "pkey", F.xxhash64("v").alias("vh")
+    )
+    rv = _explode_variants(rk, "rkey").select(
+        "rkey", F.xxhash64("v").alias("vh")
     )
     if broadcast_ref:
         rv = F.broadcast(rv)
-    cands = pv.join(rv, "v").select(id_col, "pkey", "rkey")
+    cands = pv.join(rv, "vh").select(id_col, "pkey", "rkey")
     verified = cands.withColumn(
         "dist", F.levenshtein("pkey", "rkey")
     ).filter(F.col("dist") <= max_dist)
     w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("rkey").asc())
-    return (
+    fuzzy_out = (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -118,3 +142,43 @@ def fuzzy_semi_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+    return exact_out.unionByName(fuzzy_out)
+
+
+def _explode_variants(df: DataFrame, key_col: str) -> DataFrame:
+    """One row per (input row, depth-1 deletion variant incl. the key
+    itself, deduplicated within the key) — the vectorized twin of
+    ``explode(deletion_variants(key))``, emitting the identical (row, v)
+    multiset (NULL keys emit a single NULL variant, exactly like the
+    JVM path). All input columns pass through."""
+    import pandas as _pd
+    from collections.abc import Iterator as _It
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for b in batches:
+            out = {c: [] for c in cols}
+            vs: list = []
+            data = list(zip(*[b[c].tolist() for c in cols]))
+            ki = cols.index(key_col)
+            for rowvals in data:
+                k = rowvals[ki]
+                if k is None:
+                    variants = [None]
+                else:
+                    variants = list(
+                        dict.fromkeys(
+                            [k] + [k[:i] + k[i + 1 :] for i in range(len(k))]
+                        )
+                    )
+                for c, val in zip(cols, rowvals):
+                    out[c].extend([val] * len(variants))
+                vs.extend(variants)
+            out["v"] = vs
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=f"{fields}, v string")

@@ -97,14 +97,128 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def _bmp24_batch_lumas(payloads: list):
+    """Vectorized batch decode of uniform uncompressed 24-bit BMPs:
+    returns an (n, h, w) int64 top-down luma array, or ``None`` when the
+    batch is not uniformly fast-path decodable (mixed formats, mixed
+    dims — the caller then uses the per-image codec path). The byte →
+    luma arithmetic is the identical integer BT.601 formula, so the fast
+    path is value-exact, not approximate."""
+    import struct
+
+    import numpy as np
+
+    if not payloads:
+        return None
+    first = payloads[0]
+    if len(first) < 54 or first[:2] != b"BM":
+        return None
+    header = first[:54]
+    _, _size, _, _, offset = struct.unpack_from("<2sIHHI", first, 0)
+    dib_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", first, 14
+    )
+    if dib_size < 40 or bpp != 24 or compression != 0:
+        return None
+    # uniformity: identical header bytes ⇒ identical geometry/offset
+    n_bytes = len(first)
+    for p in payloads:
+        if len(p) != n_bytes or p[:54] != header:
+            return None
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if offset + h * stride > n_bytes:
+        return None
+    raw = np.frombuffer(
+        b"".join(p[offset : offset + h * stride] for p in payloads),
+        dtype=np.uint8,
+    ).reshape(len(payloads), h, stride)
+    pix = raw[:, :, : width * 3].reshape(len(payloads), h, width, 3)
+    b_ = pix[..., 0].astype(np.int64)
+    g_ = pix[..., 1].astype(np.int64)
+    r_ = pix[..., 2].astype(np.int64)
+    lum = (299 * r_ + 587 * g_ + 114 * b_) // 1000
+    if bottom_up:
+        lum = lum[:, ::-1, :]
+    return lum
+
+
+def _pack_bands(bits):
+    """(n, 64) bool bit array → (n, 4) int32 16-bit bands (bit k goes to
+    band k//16 at position k%16 — the same layout as the scalar path)."""
+    import numpy as np
+
+    weights = (1 << np.arange(16, dtype=np.int64))[None, None, :]
+    return (
+        (bits.reshape(-1, 4, 16).astype(np.int64) * weights)
+        .sum(axis=2)
+        .astype(np.int32)
+    )
+
+
+def _ahash_bands_batch(lum):
+    """(n, h, w) lumas (dims divisible by 8) → (n, 4) int32 aHash bands;
+    identical integer arithmetic to :func:`ahash_bands`."""
+    import numpy as np
+
+    n, h, w = lum.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"ahash needs dims divisible by 8, got {w}x{h}")
+    ch, cw = h // 8, w // 8
+    sums = lum.reshape(n, 8, ch, 8, cw).sum(axis=(2, 4))  # (n, 8, 8)
+    total = sums.sum(axis=(1, 2))
+    bits = (sums.reshape(n, 64) * 64) > total[:, None]
+    return _pack_bands(bits)
+
+
+def _phash_bands_batch(lum):
+    """(n, 16, 16) lumas → (n, 4) int32 pHash bands; the identical
+    integer DCT (shared PHASH_BASIS), 8×8 low block, exact 63-AC-median
+    threshold as :func:`phash_bands`, batched as one einsum."""
+    import numpy as np
+
+    n, h, w = lum.shape
+    if (w, h) != (AHASH_SIDE, AHASH_SIDE):
+        raise ValueError(
+            f"phash expects a {AHASH_SIDE}x{AHASH_SIDE} raster, got {w}x{h}"
+        )
+    B = np.asarray(PHASH_BASIS, dtype=np.int64)
+    C = np.einsum("uy,nyx,vx->nuv", B, lum, B)
+    low = C[:, :8, :8].reshape(n, 64)
+    med = np.partition(low[:, 1:], 31, axis=1)[:, 31]
+    bits = low > med[:, None]
+    return _pack_bands(bits)
+
+
 def image_ahash(df: DataFrame) -> DataFrame:
     """media rows → (media_id, b0..b3) in one Arrow-batched pass: the
     payload bytes are consumed inside the scan stage and never shuffle —
-    only four small ints per image leave it."""
+    only four small ints per image leave it.
+
+    r7: uniform 24-bit-BMP batches decode and hash vectorized (numpy
+    byte-slicing + one reshape-sum per batch — guide §4.2) instead of a
+    per-image pure-Python pixel loop; mixed batches fall back to the
+    per-image codec path. Identical integer arithmetic either way
+    (differential-tested)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = [ahash_bands(p) for p in b["payload"]]
+            payloads = list(b["payload"])
+            lum = _bmp24_batch_lumas(payloads)
+            if lum is not None and lum.shape[1] % 8 == 0 and lum.shape[2] % 8 == 0:
+                bands = _ahash_bands_batch(lum)
+                yield pd.DataFrame(
+                    {
+                        "media_id": b["media_id"].values,
+                        "b0": bands[:, 0],
+                        "b1": bands[:, 1],
+                        "b2": bands[:, 2],
+                        "b3": bands[:, 3],
+                    }
+                )
+                continue
+            out = [ahash_bands(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"].values,
@@ -119,52 +233,95 @@ def image_ahash(df: DataFrame) -> DataFrame:
 
 
 def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """All pairs within ``max_hamming`` bits, via banded blocking.
+    """All pairs within ``max_hamming`` bits, via banded blocking over
+    HASH CLASSES.
 
     Completeness: two 64-bit hashes within Hamming distance h < 4 differ
     in at most 3 of the 4 bands, so they collide exactly on at least one
-    ``(band_idx, band_value)`` key — the equi-join below therefore finds
-    EVERY qualifying pair (the oracle checks against an exhaustive
-    cross-pair scan). ``max_hamming`` > 3 would break that guarantee and
-    is refused."""
+    ``(band_idx, band_value)`` key — the banded equi-join finds EVERY
+    qualifying pair (the oracle checks against an exhaustive cross-pair
+    scan). ``max_hamming`` > 3 would break that guarantee and is refused.
+
+    r7 shape: near-dup image corpora hold many images per DISTINCT hash,
+    and the old per-image banded self-join materialized each surviving
+    pair up to 4× (once per colliding band) plus every same-class pair,
+    then paid a distinct over the whole pair set. Grouping to hash
+    classes first (class id = min member id — unique because ids
+    partition across classes) makes the banded join and the Hamming
+    filter run on the (tiny) class table; member pairs are then expanded
+    exactly once per qualifying class pair — identical pair set and
+    hamming values, no distinct over O(pairs) rows, intermediate =
+    output. The class-pair table is round-robin repartitioned before
+    expansion so one hot class cannot serialize the generate."""
     if max_hamming >= N_BANDS:
         raise ValueError(
             f"banded blocking with {N_BANDS} bands is only complete for "
             f"hamming < {N_BANDS}, got max_hamming={max_hamming}"
         )
-    exploded = hashes.select(
-        "media_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    par = hashes.sparkSession.sparkContext.defaultParallelism
+    cls = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("media_id").alias("cid"),
+        F.collect_list("media_id").alias("ids"),
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (
-        left.join(
-            right,
+    bands_tbl = cls.select(
+        "cid", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv")
+    )
+    cp = (
+        bands_tbl.alias("l")
+        .join(
+            bands_tbl.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
+            & (F.col("l.cid") < F.col("r.cid")),
         )
-        .select(
-            F.col("l.media_id").alias("doc1"),
-            F.col("r.media_id").alias("doc2"),
-            (
-                F.bit_count(F.expr("l.b0 ^ r.b0"))
-                + F.bit_count(F.expr("l.b1 ^ r.b1"))
-                + F.bit_count(F.expr("l.b2 ^ r.b2"))
-                + F.bit_count(F.expr("l.b3 ^ r.b3"))
-            )
-            .cast("int")
-            .alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("l.cid").alias("c1"), F.col("r.cid").alias("c2"))
         .distinct()
     )
-    return pairs
+    m1 = cls.select(
+        F.col("cid").alias("c1"),
+        *[F.col(b).alias(f"{b}_1") for b in ("b0", "b1", "b2", "b3")],
+        F.col("ids").alias("ids1"),
+    )
+    m2 = cls.select(
+        F.col("cid").alias("c2"),
+        *[F.col(b).alias(f"{b}_2") for b in ("b0", "b1", "b2", "b3")],
+        F.col("ids").alias("ids2"),
+    )
+    ham = (
+        F.bit_count(F.expr("b0_1 ^ b0_2"))
+        + F.bit_count(F.expr("b1_1 ^ b1_2"))
+        + F.bit_count(F.expr("b2_1 ^ b2_2"))
+        + F.bit_count(F.expr("b3_1 ^ b3_2"))
+    ).cast("int")
+    cross = (
+        cp.join(F.broadcast(m1), "c1")
+        .join(F.broadcast(m2), "c2")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ids1", "ids2", "hamming")
+        .repartition(par)
+        .select(F.explode("ids1").alias("d1"), "ids2", "hamming")
+        .select("d1", F.explode("ids2").alias("d2"), "hamming")
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "hamming",
+        )
+    )
+    within = (
+        cls.filter(F.size("ids") > 1)
+        .select("ids")
+        .repartition(par)
+        .select(F.explode("ids").alias("d1"), "ids")
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc1"),
+            F.col("d2").alias("doc2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _doc_ahash_pixel(doc_id: int):
@@ -186,16 +343,57 @@ def _doc_ahash_pixel(doc_id: int):
     return px
 
 
+_BMP16_HEADER: bytes | None = None
+
+
+def _bmp16_header() -> bytes:
+    """The 54 header bytes every 16×16 24-bit fixture BMP shares —
+    sliced once from the scalar builder so the vectorized assembly is
+    byte-identical to ``build_bmp`` by construction."""
+    global _BMP16_HEADER
+    if _BMP16_HEADER is None:
+        _BMP16_HEADER = build_bmp(
+            AHASH_SIDE, AHASH_SIDE, lambda x, y: (0, 0, 0)
+        )[:54]
+    return _BMP16_HEADER
+
+
+def _gray_bmp16_payloads(v):
+    """(n, 16, 16) int top-down gray values → list of BMP byte payloads
+    (BGR bottom-up rows; 16·3 = 48 bytes/row needs no padding)."""
+    import numpy as np
+
+    hdr = _bmp16_header()
+    data = np.repeat(
+        v[:, ::-1, :, None].astype(np.uint8), 3, axis=3
+    ).reshape(v.shape[0], AHASH_SIDE * AHASH_SIDE * 3)
+    return [hdr + row.tobytes() for row in data]
+
+
 def media_bmp16_from_documents(docs: DataFrame) -> DataFrame:
     """One deterministic 16×16 gray BMP per document (see
-    :func:`_doc_ahash_pixel` for the near-dup group structure)."""
+    :func:`_doc_ahash_pixel` for the near-dup group structure).
+
+    r7: the raster batch is generated with vectorized numpy (the same
+    closed-form pattern) and serialized through a shared header slice of
+    the scalar ``build_bmp`` — payload bytes identical (tested), the
+    per-pixel Python loop gone."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        xs = np.arange(AHASH_SIDE, dtype=np.int64)
         for b in batches:
-            payloads = [
-                build_bmp(AHASH_SIDE, AHASH_SIDE, _doc_ahash_pixel(int(d)))
-                for d in b["doc_id"]
-            ]
+            d = np.asarray(b["doc_id"].values, dtype=np.int64)
+            gid = (d % 25)[:, None, None]
+            v = (
+                xs[None, None, :] * (3 + gid)
+                + xs[None, :, None] * (5 + 2 * gid)
+            ) % 256
+            idx = np.arange(len(d))
+            px, py = d % 16, (d // 16) % 16
+            v[idx, py, px] = (v[idx, py, px] + 128) % 256
+            payloads = _gray_bmp16_payloads(v)
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"].values,
@@ -276,11 +474,29 @@ def phash_bands(payload: bytes) -> tuple[int, int, int, int]:
 def image_phash(df: DataFrame) -> DataFrame:
     """media rows → (media_id, b0..b3) DCT perceptual hash, one
     Arrow-batched pass; same narrow-output discipline as
-    :func:`image_ahash` (payload bytes never leave the scan stage)."""
+    :func:`image_ahash` (payload bytes never leave the scan stage).
+
+    r7: uniform 16×16 24-bit-BMP batches decode vectorized and run the
+    integer DCT as one batched einsum; mixed batches fall back to the
+    per-image path. Identical integers either way."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = [phash_bands(p) for p in b["payload"]]
+            payloads = list(b["payload"])
+            lum = _bmp24_batch_lumas(payloads)
+            if lum is not None and lum.shape[1:] == (AHASH_SIDE, AHASH_SIDE):
+                bands = _phash_bands_batch(lum)
+                yield pd.DataFrame(
+                    {
+                        "media_id": b["media_id"].values,
+                        "b0": bands[:, 0],
+                        "b1": bands[:, 1],
+                        "b2": bands[:, 2],
+                        "b3": bands[:, 3],
+                    }
+                )
+                continue
+            out = [phash_bands(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"].values,
@@ -355,16 +571,61 @@ def _doc_phash_pixel(doc_id: int):
     return px_fn
 
 
+def _phash_base_surface(gid: int):
+    """(16, 16) int64 bilinear base surface for one pHash fixture group —
+    the exact integer arithmetic of :func:`_doc_phash_pixel` without the
+    per-doc shift/dipole, vectorized (25 groups total, cached)."""
+    import numpy as np
+
+    ctrl = np.asarray(_phash_control(gid), dtype=np.int64)  # [j][i]
+    xs = np.arange(AHASH_SIDE, dtype=np.int64)
+    i = np.minimum(xs // 5, 2)
+    j = np.minimum(xs // 5, 2)
+    fx = xs - 5 * i
+    fy = xs - 5 * j
+    # v[y, x] from the 4 surrounding control points
+    c00 = ctrl[j[:, None], i[None, :]]
+    c01 = ctrl[j[:, None], i[None, :] + 1]
+    c10 = ctrl[j[:, None] + 1, i[None, :]]
+    c11 = ctrl[j[:, None] + 1, i[None, :] + 1]
+    return (
+        c00 * (5 - fx[None, :]) * (5 - fy[:, None])
+        + c01 * fx[None, :] * (5 - fy[:, None])
+        + c10 * (5 - fx[None, :]) * fy[:, None]
+        + c11 * fx[None, :] * fy[:, None]
+    ) // 25
+
+
+_PHASH_SURFACES: dict[int, object] = {}
+
+
 def media_bmp16_smooth_from_documents(docs: DataFrame) -> DataFrame:
     """One deterministic smooth 16×16 gray BMP per document (see
-    :func:`_doc_phash_pixel` for the group/shift/dipole structure)."""
+    :func:`_doc_phash_pixel` for the group/shift/dipole structure).
+
+    r7: vectorized — the 25 group base surfaces are computed once per
+    task and the per-doc shift/dipole applied in numpy; byte-identical
+    payloads (tested)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for g in range(_PHASH_GROUPS):
+            if g not in _PHASH_SURFACES:
+                _PHASH_SURFACES[g] = _phash_base_surface(g)
+        bases = np.stack(
+            [_PHASH_SURFACES[g] for g in range(_PHASH_GROUPS)]
+        )  # (25, 16, 16)
         for b in batches:
-            payloads = [
-                build_bmp(AHASH_SIDE, AHASH_SIDE, _doc_phash_pixel(int(d)))
-                for d in b["doc_id"]
-            ]
+            d = np.asarray(b["doc_id"].values, dtype=np.int64)
+            gid = d % _PHASH_GROUPS
+            shift = _PHASH_SHIFT_STEP * ((d // _PHASH_GROUPS) % 6)
+            v = bases[gid] + shift[:, None, None]
+            idx = np.arange(len(d))
+            px, py = d % 15, (d // 16) % 16
+            v[idx, py, px] += _PHASH_DIPOLE
+            v[idx, py, px + 1] -= _PHASH_DIPOLE
+            payloads = _gray_bmp16_payloads(v)
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"].values,

@@ -367,36 +367,43 @@ def decode_image(payload: bytes) -> dict:
     from them. JPEG covers baseline (gray/4:4:4/4:2:2/4:2:0, restart
     intervals) AND progressive SOF2; sampling factors > 2 remain the
     documented boundary (``core/jpegcodec.py``)."""
+    import numpy as np
+
     if payload[:2] == b"BM":
         width, height, lumas = _decode_bmp(payload)
+        arr = np.asarray(lumas, dtype=np.int64)
     elif payload[:2] == b"P6":
         width, height, lumas = _decode_ppm(payload)
+        arr = np.asarray(lumas, dtype=np.int64)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         width, height, lumas = _decode_png(payload)
+        arr = np.asarray(lumas, dtype=np.int64)
     elif payload[:2] == b"\xff\xd8":
-        from ..core.jpegcodec import decode_baseline_gray
+        from ..core.jpegcodec import decode_gray_array
 
-        # grayscale: decoded sample IS the luma
-        width, height, lumas = decode_baseline_gray(payload)
+        # grayscale: decoded sample IS the luma (r7: array twin — the
+        # per-pixel tuple list is never materialized)
+        width, height, arr = decode_gray_array(payload)
     else:
         raise NotImplementedError(
             "only BMP/PPM/PNG/baseline-grayscale-JPEG payloads are "
             "decodable without image libraries"
         )
     n_px = width * height
-    sum_luma = sum(lumas)
+    # r7: integer feature reductions vectorized (identical values — the
+    # sums are exact int64 arithmetic either way)
+    sum_luma = int(arr.sum())
+    grid = arr.reshape(height, width)
     emb = []
     for gy in range(4):
         y0, y1 = gy * height // 4, (gy + 1) * height // 4
         for gx in range(4):
             x0, x1 = gx * width // 4, (gx + 1) * width // 4
-            cell = [
-                lumas[y * width + x]
-                for y in range(y0, y1)
-                for x in range(x0, x1)
-            ]
+            cell = grid[y0:y1, x0:x1]
             emb.append(
-                round(sum(cell) / len(cell) / 255.0, 6) if cell else 0.0
+                round(int(cell.sum()) / cell.size / 255.0, 6)
+                if cell.size
+                else 0.0
             )
     return {
         "sha256": hashlib.sha256(payload).hexdigest(),
@@ -685,6 +692,21 @@ def media_png_palette_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _grid_samples(
+    w: int, h: int, xdiv: int, ydiv: int, xmul: int, ymul: int, base: int
+):
+    """Block-constant fixture raster ``(xmul·(x//xdiv) + ymul·(y//ydiv)
+    + base) mod 256`` as a flat int64 array — the vectorized twin of the
+    per-pixel list comprehensions the JPEG fixture generators used (r7);
+    identical values, and the encoders consume ndarrays transparently
+    (``_pad_plane`` starts with ``np.asarray``)."""
+    import numpy as np
+
+    xs = xmul * (np.arange(w, dtype=np.int64) // xdiv)
+    ys = ymul * (np.arange(h, dtype=np.int64) // ydiv)
+    return ((xs[None, :] + ys[:, None] + base) % 256).ravel()
+
+
 def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic baseline-sequential grayscale JPEG per
     document: dims ``(8·(1 + doc_id mod 4), 8·(1 + (doc_id//4) mod 3))``,
@@ -702,11 +724,7 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
             for did in b["doc_id"]:
                 did = int(did)
                 w, h = 8 * (1 + did % 4), 8 * (1 + (did // 4) % 3)
-                samples = [
-                    ((x // 8) + 2 * (y // 8) + did) % 256
-                    for y in range(h)
-                    for x in range(w)
-                ]
+                samples = _grid_samples(w, h, 8, 8, 1, 2, did)
                 payloads.append(encode_baseline_gray(w, h, samples))
             yield pd.DataFrame(
                 {
@@ -742,11 +760,7 @@ def media_color_jpeg_from_documents(docs: DataFrame) -> DataFrame:
             for did in b["doc_id"]:
                 did = int(did)
                 w, h = 8 * (1 + did % 3), 8 * (1 + (did // 3) % 4)
-                y = [
-                    (2 * (x // 8) + (yy // 8) + did) % 256
-                    for yy in range(h)
-                    for x in range(w)
-                ]
+                y = _grid_samples(w, h, 8, 8, 2, 1, did)
                 neutral = [128] * (w * h)
                 payloads.append(
                     encode_baseline_ycbcr(w, h, y, neutral, neutral)
@@ -790,11 +804,7 @@ def media_jpeg420_from_documents(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 w = 16 + 4 * (did % 3)
                 h = 16 + 4 * ((did // 3) % 4)
-                y = [
-                    (2 * (x // 16) + (yy // 16) + did) % 256
-                    for yy in range(h)
-                    for x in range(w)
-                ]
+                y = _grid_samples(w, h, 16, 16, 2, 1, did)
                 cw, ch = (w + 1) // 2, (h + 1) // 2
                 cb = [128 + 3 * (did % 5) - 6] * (cw * ch)
                 cr = [128 + 4 * ((did // 5) % 5) - 8] * (cw * ch)
@@ -837,11 +847,7 @@ def media_jpeg411_from_documents(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 w = 32 + 4 * (did % 3)
                 h = 8 + 4 * ((did // 3) % 4)
-                y = [
-                    (2 * (x // 32) + (yy // 8) + did) % 256
-                    for yy in range(h)
-                    for x in range(w)
-                ]
+                y = _grid_samples(w, h, 32, 8, 2, 1, did)
                 cw = (w + 3) // 4
                 cb = [128 + 3 * (did % 5) - 6] * (cw * h)
                 cr = [128 + 4 * ((did // 5) % 5) - 8] * (cw * h)
@@ -884,11 +890,7 @@ def media_progressive_jpeg_from_documents(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 w = 16 + 4 * ((did + 1) % 3)
                 h = 16 + 4 * ((did // 3 + 1) % 4)
-                y = [
-                    (2 * (x // 16) + (yy // 16) + did) % 256
-                    for yy in range(h)
-                    for x in range(w)
-                ]
+                y = _grid_samples(w, h, 16, 16, 2, 1, did)
                 cw, ch = (w + 1) // 2, (h + 1) // 2
                 cb = [128 + 3 * ((did + 1) % 5) - 6] * (cw * ch)
                 cr = [128 + 4 * ((did // 5 + 2) % 5) - 8] * (cw * ch)

@@ -172,6 +172,124 @@ def pq_encode(
     )
 
 
+def pq_topk_fast(
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Vectorized twin of :func:`pq_topk` (r7): same LUT (computed by the
+    identical JVM fold and collected — m×ksub×|queries| rows, tiny), but
+    the ADC accumulation becomes one numpy integer gather-sum per Arrow
+    batch of the wide code table instead of a
+    |codes| × |queries| join + decimal aggregation over every (query,
+    corpus) pair.
+
+    Exactness: each LUT entry is ``round(d2, 4)`` — a double within
+    1e-12 of its 4-decimal value — so ``rint(dist·10⁴)`` recovers the
+    decimal(18,4) integer exactly (no HALF_UP boundary can be hit), the
+    int64 sum equals the decimal sum, and ``Σ/10⁴`` in float64 is the
+    correctly-rounded double of the exact decimal — the same value
+    Spark's ``cast(sum as double)`` produces. Ranking keys on the integer
+    sums directly. Output: (qid, nid, adist, rank) — identical rows
+    (differential-tested)."""
+    import numpy as np
+    import pandas as _pd
+    from collections.abc import Iterator as _It
+
+    first = queries.select(F.size(vec_col).alias("d")).first()
+    dims = int(first["d"]) if first is not None else 0
+    dsub = dims // m
+    if codes is None:
+        raise ValueError("pq_topk_fast needs the materialized codes table")
+    qsub = _subvectors(queries, m, dsub, id_col, vec_col).select(
+        F.col("sid").alias("qid"), "j", F.col("sv").alias("qv")
+    )
+    lut_rows = (
+        qsub.join(F.broadcast(codebooks), "j")
+        .select("qid", "j", "code_id", _d2("qv", "cv").alias("dist"))
+        .collect()
+    )
+    qids = np.array(sorted({r["qid"] for r in lut_rows}), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    ksub = 1 + max(r["code_id"] for r in lut_rows)
+    lut = np.zeros((len(qids), m, ksub), dtype=np.int64)
+    for r in lut_rows:
+        lut[qpos[int(r["qid"])], r["j"], r["code_id"]] = int(
+            round(r["dist"] * 10000)
+        )
+    kk = k + 1
+
+    codes_wide = (
+        codes.groupBy("sid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("cs"))
+        .select(
+            "sid", F.transform("cs", lambda s: s["code"]).alias("cv")
+        )
+    )
+
+    def fn(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for b in batches:
+            if len(b) == 0:
+                continue
+            sids = np.asarray(b["sid"].values, dtype=np.int64)
+            C = np.array(list(b["cv"]), dtype=np.int64)  # (n, m)
+            D = np.zeros((len(qids), len(sids)), dtype=np.int64)
+            for j in range(m):
+                D += lut[:, j, C[:, j]]
+            take = min(kk, len(sids))
+            # selection keyed on the exact integer sums (adist ASC, nid
+            # ASC): ids occupy disjoint low ranges per sum value, so the
+            # composite key is a strict encoding of the total order;
+            # guard the key range (huge ids/distances fall back to a
+            # per-row lexsort of the same order)
+            if (
+                len(sids)
+                and sids.min() >= 0
+                and sids.max() < (1 << 33)
+                and D.max() < (1 << 29)
+            ):
+                key = (D << 33) + sids[None, :]
+                if take < len(sids):
+                    part = np.argpartition(key, take - 1, axis=1)[:, :take]
+                    sub = np.take_along_axis(key, part, axis=1)
+                    idx = np.take_along_axis(
+                        part, np.argsort(sub, axis=1), axis=1
+                    )
+                else:
+                    idx = np.argsort(key, axis=1)
+            else:
+                idx = np.stack(
+                    [
+                        np.lexsort((sids, D[qi]))[:take]
+                        for qi in range(len(qids))
+                    ]
+                )
+            yield _pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, take),
+                    "nid": sids[idx].ravel(),
+                    "adist": (
+                        np.take_along_axis(D, idx, axis=1).astype(np.float64)
+                        / 10000.0
+                    ).ravel(),
+                }
+            )
+
+    cand = codes_wide.mapInPandas(
+        fn, schema="qid long, nid long, adist double"
+    ).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "adist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pq_topk(
     df: DataFrame | None,
     codebooks: DataFrame,

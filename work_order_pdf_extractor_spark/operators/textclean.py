@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .common import stable_hash64, word_shingles
+from .common import stable_hash64
+from .shinglefast import word_shingles_fast as word_shingles
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2
 # (DuckDB oracle): character classes, bounded repetition, no backrefs.
@@ -35,23 +36,55 @@ def repetition_scores(
     repetition rule): ``dup_ratio = 1 - distinct_ngrams / total_ngrams``,
     flagged ``repetitive`` above ``max_dup_ratio``.
 
-    Entirely row-local — the n-gram list is built with
-    ``transform(sequence(...))`` inside the row (no explode), so the
-    operator is a narrow map over the scan at any corpus size. Documents
-    with fewer than ``n`` words get NULL ratios and ``repetitive=false``
+    Entirely row-local — still a narrow map over the scan at any corpus
+    size. r7: the n-gram counting runs in the Arrow pass (tuple-set per
+    document) instead of the earlier ``transform(sequence(...))`` +
+    ``array_distinct`` expression chain, whose interpreted per-element
+    evaluation (string concat per gram + distinct scan) was the entire
+    measured cost of the operator; distinct word-tuples and distinct
+    space-joined gram strings are the same count because words cannot
+    contain the split character. The ratio/flag arithmetic stays in JVM
+    expressions, so rounding semantics are unchanged. Documents with
+    fewer than ``n`` words get NULL ratios and ``repetitive=false``
     (zero-guarded for ANSI mode)."""
-    ws = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", *[ws[i + k] for k in range(n)]),
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def counts(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for b in batches:
+            ids = b[id_col].values
+            n_grams: list = []
+            n_distinct: list = []
+            for t in b[text_col]:
+                words = ("" if t is None else t).split(" ")
+                m = len(words)
+                if m < n:
+                    n_grams.append(None)
+                    n_distinct.append(None)
+                else:
+                    n_grams.append(m - (n - 1))
+                    n_distinct.append(
+                        len(set(zip(*(words[k:] for k in range(n)))))
+                    )
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_grams": _pd.array(n_grams, dtype="Int32"),
+                    "n_distinct": _pd.array(n_distinct, dtype="Int32"),
+                }
+            )
+
+    cnt = df.select(id_col, text_col).mapInPandas(
+        counts, schema=f"{id_col} long, n_grams int, n_distinct int"
     )
-    n_grams = F.when(F.size(ws) >= n, F.size(ws) - (n - 1))
-    n_distinct = F.when(F.size(ws) >= n, F.size(F.array_distinct(grams)))
-    dup_ratio = F.round((n_grams - n_distinct) / n_grams, 6)
-    return df.select(
+    dup_ratio = F.round(
+        (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"), 6
+    )
+    return cnt.select(
         id_col,
-        n_grams.cast("int").alias("n_grams"),
-        n_distinct.cast("int").alias("n_distinct"),
+        "n_grams",
+        "n_distinct",
         dup_ratio.alias("dup_ratio"),
         F.coalesce(dup_ratio > max_dup_ratio, F.lit(False)).alias(
             "repetitive"

@@ -2091,11 +2091,12 @@ def q_cosine_topk_fast(spark, sf_dir):
     """Production twin of q_cosine_topk: one numpy matmul per Arrow batch
     with per-batch local top-k, so only O(queries×k) rows per partition
     ever shuffle. Same oracle as the JVM-fold variant — the two must agree
-    to the rounded digit (asserted in tests and by the shared oracle)."""
-    from .operators import similarity
+    to the rounded digit (asserted in tests and by the shared oracle).
+    r7: the annfast twin (vectorized per-batch selection)."""
+    from .operators import annfast
 
     emb = ld(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_fast(
+    return annfast.cosine_topk_fast2(
         emb, query_df=emb.filter(F.col("vec_id") < 5), k=5
     )
 
@@ -2108,10 +2109,15 @@ def q_ann_lsh_buckets(spark, sf_dir):
     (derived from index arithmetic, identical in both engines), bucket =
     sign bits of the 8 projections. Per-term DECIMAL rounding makes the
     projection sum order-independent, so signs agree across engines.
-    At 100 TB you bucket-join instead of cross-joining embeddings."""
-    from .operators import similarity
+    At 100 TB you bucket-join instead of cross-joining embeddings.
 
-    return similarity.hyperplane_lsh_buckets(
+    r7: computed by the vectorized exact twin (operators/annfast.py) —
+    the interpreted per-term BigDecimal fold was the measured cost of
+    this query; the twin reproduces the decimal(28,9) HALF_UP semantics
+    bit-exactly (differential-tested) in one numpy pass."""
+    from .operators import annfast
+
+    return annfast.hyperplane_buckets_fast_exact(
         ld(spark, sf_dir, "embeddings"), N_PLANES
     )
 
@@ -2194,10 +2200,15 @@ def q_lsh_topk_banded(spark, sf_dir):
     independent 3-plane hash tables; candidates collide in ANY band
     (OR-construction), so no single bucket needs to be big for recall and
     per-(band, bucket) join work stays 2^r-bounded. This is the 100-TB
-    answer to the single-table hot-bucket risk."""
-    from .operators import similarity
+    answer to the single-table hot-bucket risk.
 
-    return similarity.lsh_topk_banded(
+    r7: the annfast twin — exact decimal bucket bits without the
+    interpreted BigDecimal fold, and argpartition-based local top-k
+    selection instead of a per-query full lexsort (the two measured
+    costs of this query; results differential-tested identical)."""
+    from .operators import annfast
+
+    return annfast.lsh_topk_banded_fast(
         ld(spark, sf_dir, "embeddings"), k=3,
         bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND,
     )
@@ -2349,10 +2360,14 @@ def q_ivf_topk(spark, sf_dir):
     """IVF ANN: brute-force cosine within each IVF cell (nprobe=1) — the
     second scale path beside hyperplane LSH. Search runs against the
     session-cached TRAINED model (train once, search many — at 100 TB
-    re-training per query would be the wrong default story)."""
-    from .operators import similarity
+    re-training per query would be the wrong default story).
 
-    return similarity.ivf_topk(
+    r7: the annfast twin — vectorized nearest-centroid assignment (one
+    matmul per Arrow batch vs the interpreted per-(row, centroid) dot
+    fold) and argpartition local top-k; differential-tested identical."""
+    from .operators import annfast
+
+    return annfast.ivf_topk_fast(
         ld(spark, sf_dir, "embeddings"), k=3, n_centroids=IVF_K,
         centroids=_trained_ivf_centroids(spark, sf_dir),
     )
@@ -2393,11 +2408,14 @@ def q_ivf_topk_nprobe(spark, sf_dir):
     r6 sweep: recall@3 0.90 (sf0.01) / 0.94 (sf0.1) vs 0.31 at
     nprobe=1 and 0.47 at the old nprobe=2 default — see SCALE.md for
     the full (K, nprobe) curve incl. K ~ sqrt(N) sizing. Within-cell
-    scoring is the chunked-numpy roles scorer (operators/ann_tuning.py),
-    never a pair materialization."""
-    from .operators import ann_tuning
+    scoring is the chunked-numpy roles scorer, never a pair
+    materialization.
 
-    return ann_tuning.ivf_topk_nprobe(
+    r7: the annfast twin — vectorized assignment/probe ranking and
+    argpartition local top-k; differential-tested identical."""
+    from .operators import annfast
+
+    return annfast.ivf_topk_nprobe_fast(
         ld(spark, sf_dir, "embeddings"), k=3, nprobe=IVF_NPROBE,
         centroids=_trained_ivf_centroids(spark, sf_dir),
     )
@@ -3350,16 +3368,23 @@ def q_tfidf_terms(spark, sf_dir):
     log-idf would hinge on transcendental ULPs. Ranking (score DESC,
     term ASC) is therefore fully deterministic. Standard two-aggregate
     shape: term frequency per (doc, term), document frequency per term,
-    broadcast-scale df joined back."""
+    broadcast-scale df joined back.
+
+    r7: the raw word explode runs ONCE — df derives from the tf table
+    (one row per (doc, term), so count-per-term IS the distinct-doc
+    count), and the n_docs scalar comes from a no-explode predicate
+    (a doc has a non-empty token iff trim(text) <> '' — split drops no
+    characters), where the old plan exploded the corpus three times
+    (tf, df, and a mid-build distinct().count() action). (A Python
+    Counter-per-doc tf variant was measured SLOWER — the df build and
+    the join probe each re-ran the Arrow pass — and was reverted.)"""
     docs = ld(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.groupBy("w").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    n_docs = words.select("doc_id").distinct().count()
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.filter(F.trim(F.col("text")) != "").count()
     scored = tf.join(df_, "w").select(
         "doc_id",
         "w",
@@ -3903,12 +3928,16 @@ def q_pq_topk(spark, sf_dir):
     subvectors, the corpus is searched through its codes only — one
     m x ksub LUT per query against the broadcast codebook, then a narrow
     (j, code) join + order-free DECIMAL sum. The corpus embedding column
-    never reaches the search side."""
+    never reaches the search side.
+
+    r7: the pq_topk_fast twin — the ADC accumulation runs as one integer
+    gather-sum per Arrow batch of the wide code table instead of a
+    |codes|×|queries| join + per-pair decimal aggregation; identical
+    values (differential-tested)."""
     from .operators import pq
 
     emb = ld(spark, sf_dir, "embeddings")
-    return pq.pq_topk(
-        None,
+    return pq.pq_topk_fast(
         _trained_pq_codebooks(spark, sf_dir),
         emb.filter(F.col("vec_id") % 100 == 0),
         k=3,
@@ -3947,10 +3976,13 @@ def q_semdedup(spark, sf_dir):
     to a smaller-id member is ≥ τ — the embedding-space twin of the
     text near-dup materializer's greedy keeper. Returns the kept
     (vec_id, centroid_id) corpus; the oracle replays clustering (same
-    training CTEs as IVF) and the within-cell drop rule."""
-    from .operators import similarity
+    training CTEs as IVF) and the within-cell drop rule.
 
-    return similarity.semdedup(
+    r7: the annfast twin — vectorized assignment against the
+    materialized model; the within-cell scorer was already one matmul."""
+    from .operators import annfast
+
+    return annfast.semdedup_fast(
         ld(spark, sf_dir, "embeddings"), IVF_K, SEMDEDUP_TAU,
         centroids=_trained_ivf_centroids(spark, sf_dir),
     )
@@ -3985,34 +4017,38 @@ def q_ann_recall(spark, sf_dir):
     approximates squared L2, so it is measured against exact-L2 top-3 on
     its own query set (vec_id % 100 = 0). Both engines produce the SAME
     deterministic top-3 lists (round-4 sims, id tiebreaks), so the
-    hit counts — and therefore recall — are integer-exact."""
-    from .operators import pq, similarity
+    hit counts — and therefore recall — are integer-exact.
+
+    r7: every search runs through its annfast twin WITH the query set
+    passed in (roles scorer): the gauge consumes only qid-in-query-set
+    rows, and a query's top-k is independent of other queries, so the
+    joined result is unchanged while the approximate searches stop
+    scoring |corpus|² pairs for queries whose rows the recall join
+    immediately drops. (The r2-era note about filtered self-joins losing
+    Catalyst exchange reuse applied to the old join-shaped plans; the
+    grouped roles scorer has no self-join to de-optimize.)"""
+    from .operators import annfast, pq
 
     emb = ld(spark, sf_dir, "embeddings")
     qcos = emb.filter(F.col("vec_id") < ANN_RECALL_Q)
-    # the fast twin is provably bit-identical to the JVM-fold baseline
-    # (same total order, tested) and ~10x cheaper on the 100-query set
-    exact_cos = similarity.cosine_topk_fast(emb, query_df=qcos, k=3).select(
+    exact_cos = annfast.cosine_topk_fast2(emb, query_df=qcos, k=3).select(
         "qid", "nid"
     )
-    # NOTE: the approximate searches run UNFILTERED — the recall join
-    # (exact LEFT approx on (qid, nid)) restricts to the query set by
-    # itself, and pushing a qid predicate into the search plans measurably
-    # HURTS: the filter lands on only the query side of the self-join, the
-    # two sides stop being identical subtrees, and Catalyst's exchange
-    # reuse is lost (salted path measured 7.2s filtered vs 3.4s full).
-    banded = similarity.lsh_topk_banded(
-        emb, k=3, bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND
+    banded = annfast.lsh_topk_banded_fast(
+        emb, k=3, bands=LSH_TOPK_BANDS, planes_per_band=LSH_PLANES_PER_BAND,
+        query_df=qcos,
     )
-    salted = similarity.lsh_topk(emb, k=3, n_planes=N_PLANES)
-    ivf = similarity.ivf_topk(
+    salted = annfast.lsh_topk_fast(
+        emb, k=3, n_planes=N_PLANES, query_df=qcos
+    )
+    ivf = annfast.ivf_topk_fast(
         emb, k=3, n_centroids=IVF_K,
-        centroids=_trained_ivf_centroids(spark, sf_dir),
+        centroids=_trained_ivf_centroids(spark, sf_dir), query_df=qcos,
     )
     pqq = emb.filter(F.col("vec_id") % 100 == 0)
-    exact_l2 = similarity.l2_topk(emb, query_df=pqq, k=3).select("qid", "nid")
-    pq_res = pq.pq_topk(
-        None, _trained_pq_codebooks(spark, sf_dir), pqq, k=3,
+    exact_l2 = annfast.l2_topk_fast(emb, query_df=pqq, k=3).select("qid", "nid")
+    pq_res = pq.pq_topk_fast(
+        _trained_pq_codebooks(spark, sf_dir), pqq, k=3,
         codes=_materialized_pq_codes(spark, sf_dir),
     )
 
@@ -4034,11 +4070,9 @@ def q_ann_recall(spark, sf_dir):
             (F.col("hit_rows") / F.col("exact_rows")).alias("recall"),
         )
 
-    from .operators import ann_tuning
-
-    ivf_np = ann_tuning.ivf_topk_nprobe(
+    ivf_np = annfast.ivf_topk_nprobe_fast(
         emb, k=3, nprobe=IVF_NPROBE,
-        centroids=_trained_ivf_centroids(spark, sf_dir),
+        centroids=_trained_ivf_centroids(spark, sf_dir), query_df=qcos,
     )
     return (
         one("lsh_banded", exact_cos, banded)
@@ -4537,10 +4571,10 @@ def q_lsh_pair_quality(spark, sf_dir):
     shingle table is persisted and shared by both branches (same pattern
     as dedup_near_materialize)."""
     from .operators import dedup
-    from .operators.common import word_shingles
+    from .operators.shinglefast import word_shingles_fast
 
     docs = ld(spark, sf_dir, "documents")
-    sh = word_shingles(docs).persist()
+    sh = word_shingles_fast(docs).persist()
     cand = (
         dedup.minhash_lsh_pairs(docs, N_MINHASH, LSH_BANDS, shingles=sh)
         .select("doc1", "doc2")
@@ -4826,18 +4860,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "excise_spans": (q_excise_spans, SQL_EXCISE_SPANS),
     "image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
     "image_ahash_pairs": (q_image_ahash_pairs, SQL_IMAGE_AHASH_PAIRS),
-    "png_adam7_decode": (q_png_adam7_decode, SQL_PNG_ADAM7_DECODE),
-    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "lsh_pair_quality": (q_lsh_pair_quality, SQL_LSH_PAIR_QUALITY),
-    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "quality_percentile_gate": (q_quality_percentile_gate, SQL_QUALITY_GATE),
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
-    "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
-    "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
-    "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
-    "jpeg411_decode": (q_jpeg411_decode, SQL_JPEG411_DECODE),
-    "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
     "incremental_ingest": (q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     "ingest_merge": (q_ingest_merge, SQL_INGEST_MERGE),
     "ivf_topk_nprobe": (q_ivf_topk_nprobe, SQL_IVF_TOPK_NPROBE),
@@ -4856,98 +4880,108 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR),
-    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
-    "png_decode": (q_png_decode, SQL_PNG_DECODE),
-    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
-    "jpeg_color_decode": (q_jpeg_color_decode, SQL_JPEG_COLOR_DECODE),
-    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
-    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
-    "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "repetition_score": (q_repetition_score, SQL_REPETITION),
-    "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
-    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
-    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
-    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "boilerplate_spans": (q_boilerplate_spans, SQL_BOILERPLATE),
     "fluency_score": (q_fluency_score, SQL_FLUENCY),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    # -- attested, longest-unrefreshed first (spill-over re-attests) ----
-    "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
-    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
-    "session_window": (q_session_window, SQL_SESSION_WINDOW),
-    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
-    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
-    "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
-    "page_split": (q_page_split, SQL_PAGE_SPLIT),
-    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
-    "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
-    "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
-    "lag_gap": (q_lag_gap, SQL_LAG_GAP),
-    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
-    "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
-    "top_k": (q_top_k, SQL_TOP_K),
-    "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
-    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "cosine_topk_fast": (q_cosine_topk_fast, SQL_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
+    "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
+    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "jpeg411_decode": (q_jpeg411_decode, SQL_JPEG411_DECODE),
+    "jpeg420_decode": (q_jpeg420_decode, SQL_JPEG420_DECODE),
+    "jpeg_color_decode": (q_jpeg_color_decode, SQL_JPEG_COLOR_DECODE),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
+    "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "png_adam7_decode": (q_png_adam7_decode, SQL_PNG_ADAM7_DECODE),
+    "png_decode": (q_png_decode, SQL_PNG_DECODE),
+    "png_palette_decode": (q_png_palette_decode, SQL_PNG_PALETTE_DECODE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "mulaw_decode": (q_mulaw_decode, SQL_MULAW_DECODE),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    # -- attested, stalest attested_round first ---------------------------
     "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
-    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "base64_funcs": (q_base64_funcs, SQL_BASE64_FUNCS),
     "case_quality_flags": (q_case_quality_flags, SQL_CASE_QUALITY),
-    "null_guard_coalesce": (q_null_guard_coalesce, SQL_NULL_GUARD),
-    "status_counters": (q_status_counters, SQL_STATUS_COUNTERS),
+    "conversation_rollup": (q_conversation_rollup, SQL_CONV_ROLLUP),
     "cost_sums": (q_cost_sums, SQL_COST_SUMS),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
-    "groupby_having": (q_groupby_having, SQL_GROUPBY_HAVING),
-    "progress_fraction": (q_progress_fraction, SQL_PROGRESS_FRACTION),
-    "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
-    "pivot_counts": (q_pivot_counts, SQL_PIVOT),
-    "percentiles": (q_percentiles, SQL_PERCENTILES),
-    "min_max_clamp": (q_min_max_clamp, SQL_MIN_MAX_CLAMP),
-    "union_all": (q_union_all, SQL_UNION_ALL),
-    "intersect_keys": (q_intersect_keys, SQL_INTERSECT),
-    "except_keys": (q_except_keys, SQL_EXCEPT),
-    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
-    "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
     "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
-    "base64_funcs": (q_base64_funcs, SQL_BASE64_FUNCS),
+    "dim_chain_join": (q_dim_chain_join, SQL_DIM_CHAIN),
+    "except_keys": (q_except_keys, SQL_EXCEPT),
+    "explode_words": (q_explode_words, SQL_EXPLODE_WORDS),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "first_per_user": (q_first_per_user, SQL_FIRST_PER_USER),
     "format_number": (q_format_number, SQL_FORMAT_NUMBER),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
-    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
-    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
-    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF),
-    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
-    "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
+    "groupby_having": (q_groupby_having, SQL_GROUPBY_HAVING),
+    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
+    "intersect_keys": (q_intersect_keys, SQL_INTERSECT),
+    "json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
+    "lag_gap": (q_lag_gap, SQL_LAG_GAP),
+    "min_max_clamp": (q_min_max_clamp, SQL_MIN_MAX_CLAMP),
+    "null_guard_coalesce": (q_null_guard_coalesce, SQL_NULL_GUARD),
+    "page_split": (q_page_split, SQL_PAGE_SPLIT),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "progress_fraction": (q_progress_fraction, SQL_PROGRESS_FRACTION),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP),
+    "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "status_counters": (q_status_counters, SQL_STATUS_COUNTERS),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "top_k": (q_top_k, SQL_TOP_K),
+    "turn_order_window": (q_turn_order_window, SQL_TURN_ORDER),
+    "union_all": (q_union_all, SQL_UNION_ALL),
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "cast_normalize": (q_cast_normalize, SQL_CAST_NORMALIZE),
+    "csv_source": (q_csv_source, SQL_CSV_SOURCE),
     "golden_verify_join": (q_golden_verify_join, SQL_GOLDEN_VERIFY),
+    "jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "orc_source": (q_orc_source, SQL_ORC_SOURCE),
+    "outer_disposition": (q_outer_disposition, SQL_OUTER_DISPOSITION),
+    "rolling_range_window": (q_rolling_range_window, SQL_ROLLING_RANGE),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "group_sample_k": (q_group_sample_k, SQL_GROUP_SAMPLE_K),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
-    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
-    "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
-    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
-    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
-    "fuzzy_semi_join": (q_fuzzy_semi_join, SQL_FUZZY_SEMI_JOIN),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "cosine_topk_fast": (q_cosine_topk_fast, SQL_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
-    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "jsonl_gz_source": (q_jsonl_gz_source, SQL_JSONL_GZ_SOURCE),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "langid": (q_langid, SQL_LANGID),
-    "quality_score": (q_quality_score, SQL_QUALITY),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "salted_two_phase_agg": (q_salted_two_phase_agg, SQL_SALTED_AGG),
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM),
+    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
+    "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
+    "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
+    "quality_percentile_gate": (q_quality_percentile_gate, SQL_QUALITY_GATE),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }
