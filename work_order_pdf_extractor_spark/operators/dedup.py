@@ -104,6 +104,60 @@ def df_cut_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     return sh.join(keep, "shingle", "left_semi")
 
 
+def _cooccurring_pairs(sh: DataFrame, id_col: str) -> DataFrame:
+    """One (doc1, doc2) row per unordered co-occurrence per shingle —
+    doc1 < doc2, from sorted per-shingle posting lists (r7). Hot
+    shingles (corpus-wide phrases) are split into ≤1024-member chunks
+    and every chunk pair is generated ROW-LOCALLY from the posting row
+    (k = k1·nch + k2 index arithmetic — no self-join), then round-robin
+    repartitioned, so a df-10⁴ shingle expands across many tasks
+    instead of serializing 10⁸ pairs in one (guide §2.5). Sorted chunks
+    make cross-chunk expansion ordered without a filter."""
+    chunk = 1024
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    nch = F.ceil(F.size("ids") / chunk).cast("int")
+    cp = (
+        lists.select(
+            "ids",
+            nch.alias("nch"),
+            F.explode(F.sequence(F.lit(0), nch * nch - 1)).alias("kk"),
+        )
+        .select(
+            "ids",
+            F.expr("kk div nch").cast("int").alias("k1"),
+            F.pmod(F.col("kk"), F.col("nch")).cast("int").alias("k2"),
+        )
+        .filter(F.col("k1") <= F.col("k2"))
+        .select(
+            F.slice("ids", F.col("k1") * chunk + 1, chunk).alias("sub1"),
+            F.slice("ids", F.col("k2") * chunk + 1, chunk).alias("sub2"),
+            (F.col("k1") == F.col("k2")).alias("same"),
+        )
+        .repartition(par)
+    )
+    tri = (
+        cp.filter("same")
+        .select(F.posexplode("sub1").alias("i", "doc1"), "sub1")
+        .select(
+            "doc1",
+            F.explode(
+                F.slice("sub1", F.col("i") + 2, F.size("sub1"))
+            ).alias("doc2"),
+        )
+    )
+    cross = (
+        cp.filter(~F.col("same"))
+        .select(F.explode("sub1").alias("doc1"), "sub2")
+        .select("doc1", F.explode("sub2").alias("doc2"))
+    )
+    return tri.unionByName(cross)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -148,24 +202,15 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        # r7 (guide §2.4): the all-pairs branch used a shingle self-join —
-        # two probe passes over the same table and a generated row per
-        # ORDERED pair that the a<b filter then halved. One groupBy to a
-        # sorted per-shingle posting list + a slice-explode generates each
-        # unordered co-occurrence exactly once: half the rows into the
-        # pair aggregation, no join build, identical (doc1, doc2, count)s.
-        lists = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids")
-        )
+        # r7 (guide §2.4/2.5): the all-pairs branch used a shingle
+        # self-join — two probe passes over the same table and a
+        # generated row per ORDERED pair that the a<b filter then
+        # halved. Chunked posting-list expansion generates each
+        # unordered co-occurrence exactly once with bounded per-task
+        # fan-out: half the rows into the pair aggregation, no join
+        # build, no hot-shingle straggler, identical counts.
         common = (
-            lists.filter(F.size("ids") > 1)
-            .select(F.posexplode("ids").alias("i", "doc1"), "ids")
-            .select(
-                "doc1",
-                F.explode(
-                    F.slice("ids", F.col("i") + 2, F.size("ids"))
-                ).alias("doc2"),
-            )
+            _cooccurring_pairs(sh, id_col)
             .groupBy("doc1", "doc2")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
@@ -732,23 +777,15 @@ def containment_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        # r7: same posting-list pair generation as the Jaccard all-pairs
-        # branch — count each unordered pair once, then mirror (the
-        # intersection is symmetric), instead of a self-join that
+        # r7: same chunked posting-list pair generation as the Jaccard
+        # all-pairs branch — count each unordered pair once, then mirror
+        # (the intersection is symmetric), instead of a self-join that
         # aggregates both directions independently.
-        lists = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids")
-        )
         half = (
-            lists.filter(F.size("ids") > 1)
-            .select(F.posexplode("ids").alias("i", "d1"), "ids")
-            .select(
-                "d1",
-                F.explode(
-                    F.slice("ids", F.col("i") + 2, F.size("ids"))
-                ).alias("d2"),
+            _cooccurring_pairs(sh, id_col)
+            .groupBy(
+                F.col("doc1").alias("d1"), F.col("doc2").alias("d2")
             )
-            .groupBy("d1", "d2")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
         common = half.select(

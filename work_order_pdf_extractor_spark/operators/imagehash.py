@@ -251,17 +251,39 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     filter run on the (tiny) class table; member pairs are then expanded
     exactly once per qualifying class pair — identical pair set and
     hamming values, no distinct over O(pairs) rows, intermediate =
-    output. The class-pair table is round-robin repartitioned before
-    expansion so one hot class cannot serialize the generate."""
+    output. Classes are split into ≤``chunk``-member sorted sub-arrays
+    before expansion and the chunk-pair table is round-robin
+    repartitioned, so one hot class (a popular hash) expands across many
+    tasks instead of serializing the generate in one (guide §2.5)."""
     if max_hamming >= N_BANDS:
         raise ValueError(
             f"banded blocking with {N_BANDS} bands is only complete for "
             f"hamming < {N_BANDS}, got max_hamming={max_hamming}"
         )
+    chunk = 512
     par = hashes.sparkSession.sparkContext.defaultParallelism
     cls = hashes.groupBy("b0", "b1", "b2", "b3").agg(
         F.min("media_id").alias("cid"),
-        F.collect_list("media_id").alias("ids"),
+        F.sort_array(F.collect_list("media_id")).alias("ids"),
+    )
+    # ≤chunk-member sorted slices; chunk k's members all precede chunk
+    # k+1's (ids sorted), so cross-chunk expansion needs no d1<d2 filter
+    cls_ch = (
+        cls.select(
+            "cid",
+            "ids",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ids") / chunk).cast("int") - 1,
+                )
+            ).alias("k"),
+        )
+        .select(
+            "cid",
+            "k",
+            F.slice("ids", F.col("k") * chunk + 1, chunk).alias("sub"),
+        )
     )
     bands_tbl = cls.select(
         "cid", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv")
@@ -280,12 +302,10 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     m1 = cls.select(
         F.col("cid").alias("c1"),
         *[F.col(b).alias(f"{b}_1") for b in ("b0", "b1", "b2", "b3")],
-        F.col("ids").alias("ids1"),
     )
     m2 = cls.select(
         F.col("cid").alias("c2"),
         *[F.col(b).alias(f"{b}_2") for b in ("b0", "b1", "b2", "b3")],
-        F.col("ids").alias("ids2"),
     )
     ham = (
         F.bit_count(F.expr("b0_1 ^ b0_2"))
@@ -293,33 +313,57 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         + F.bit_count(F.expr("b2_1 ^ b2_2"))
         + F.bit_count(F.expr("b3_1 ^ b3_2"))
     ).cast("int")
+    ch1 = cls_ch.select(F.col("cid").alias("c1"), F.col("sub").alias("sub1"))
+    ch2 = cls_ch.select(F.col("cid").alias("c2"), F.col("sub").alias("sub2"))
     cross = (
         cp.join(F.broadcast(m1), "c1")
         .join(F.broadcast(m2), "c2")
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("ids1", "ids2", "hamming")
+        .join(F.broadcast(ch1), "c1")
+        .join(F.broadcast(ch2), "c2")
         .repartition(par)
-        .select(F.explode("ids1").alias("d1"), "ids2", "hamming")
-        .select("d1", F.explode("ids2").alias("d2"), "hamming")
+        .select(F.explode("sub1").alias("d1"), "sub2", "hamming")
+        .select("d1", F.explode("sub2").alias("d2"), "hamming")
         .select(
             F.least("d1", "d2").alias("doc1"),
             F.greatest("d1", "d2").alias("doc2"),
             "hamming",
         )
     )
-    within = (
-        cls.filter(F.size("ids") > 1)
-        .select("ids")
-        .repartition(par)
-        .select(F.explode("ids").alias("d1"), "ids")
-        .select("d1", F.explode("ids").alias("d2"))
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            F.col("d1").alias("doc1"),
-            F.col("d2").alias("doc2"),
-            F.lit(0).cast("int").alias("hamming"),
+    wpairs = (
+        cls_ch.alias("a")
+        .join(
+            cls_ch.alias("b"),
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.k") <= F.col("b.k")),
         )
+        .select(
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            F.col("a.sub").alias("sub1"),
+            F.col("b.sub").alias("sub2"),
+        )
+        .repartition(par)
+    )
+    within_same = (
+        wpairs.filter(F.col("k1") == F.col("k2"))
+        .select(F.posexplode("sub1").alias("i", "d1"), "sub1")
+        .select(
+            "d1",
+            F.explode(
+                F.slice("sub1", F.col("i") + 2, F.size("sub1"))
+            ).alias("d2"),
+        )
+    )
+    within_cross = (
+        wpairs.filter(F.col("k1") < F.col("k2"))
+        .select(F.explode("sub1").alias("d1"), "sub2")
+        .select("d1", F.explode("sub2").alias("d2"))
+    )
+    within = within_same.unionByName(within_cross).select(
+        F.col("d1").alias("doc1"),
+        F.col("d2").alias("doc2"),
+        F.lit(0).cast("int").alias("hamming"),
     )
     return cross.unionByName(within)
 
@@ -442,9 +486,12 @@ def phash_bands(payload: bytes) -> tuple[int, int, int, int]:
     MEDIAN of the 63 AC coefficients (the 32nd order statistic of an
     odd-sized integer multiset — exactly reproducible, no float mean) →
     bit ``k = u*8+v`` set when ``C[u,v] > median``. Properties pinned by
-    tests: EXACT invariance to unclamped global brightness shift (only
-    the excluded DC coefficient changes) and to exact contrast scaling
-    (all coefficients and their median scale together)."""
+    tests: EXACT invariance to unclamped global brightness shift — NOTE
+    (ADVICE r6): the DC coefficient's bit (k = 0) IS included in the
+    64-bit hash, but on non-negative rasters DC always exceeds the
+    63-AC median, so bit 0 is pinned at 1 and a brightness shift (which
+    moves only DC) cannot change any bit — and to exact contrast
+    scaling (all coefficients and their median scale together)."""
     if payload[:2] == b"BM":
         w, h, lumas = _decode_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":

@@ -1621,7 +1621,7 @@ WHERE doc_id NOT IN (SELECT doc2 FROM verified)
 """
 
 
-def q_dedup_components(spark, sf_dir):
+def q_dedup_components(spark, sf_dir, persisted_out: list | None = None):
     """Duplicate-CLUSTER assignment: connected components over the
     verified near-dup pair graph by min-label propagation (component id =
     min doc id of the cluster — the exact cluster semantics the greedy
@@ -1633,6 +1633,8 @@ def q_dedup_components(spark, sf_dir):
 
     docs = ld(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, 3).persist()
+    if persisted_out is not None:  # cache-lifecycle escape hatch
+        persisted_out.append(sh)
     cand = dedup.minhash_lsh_pairs(
         docs, N_MINHASH, LSH_BANDS, 3, shingles=sh
     )
@@ -1970,7 +1972,7 @@ GROUP BY 1
 """
 
 
-def q_cluster_sample(spark, sf_dir):
+def q_cluster_sample(spark, sf_dir, persisted_out: list | None = None):
     """One-per-cluster sampling with cluster-size weights — what a
     training pipeline DOES with the component assignment: keep exactly
     the min-id document of every near-dup cluster and carry the cluster
@@ -1982,6 +1984,8 @@ def q_cluster_sample(spark, sf_dir):
 
     docs = ld(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, 3).persist()
+    if persisted_out is not None:  # cache-lifecycle escape hatch
+        persisted_out.append(sh)
     cand = dedup.minhash_lsh_pairs(docs, N_MINHASH, LSH_BANDS, 3, shingles=sh)
     verified = dedup.ngram_jaccard_pairs(
         docs, 3, 0.6, candidates=cand, shingles=sh
@@ -4561,7 +4565,7 @@ ORDER BY best_ticket, doc_id LIMIT {WS_TICKET_K}
 """
 
 
-def q_lsh_pair_quality(spark, sf_dir):
+def q_lsh_pair_quality(spark, sf_dir, persisted_out: list | None = None):
     """Candidate-quality gauge for the dedup family (the ann_recall
     analog): MinHash-LSH candidate pairs vs the EXACT Jaccard ≥ 0.6
     ground truth, as integer tp/fp/missed counts plus integer recall/
@@ -4575,6 +4579,8 @@ def q_lsh_pair_quality(spark, sf_dir):
 
     docs = ld(spark, sf_dir, "documents")
     sh = word_shingles_fast(docs).persist()
+    if persisted_out is not None:  # cache-lifecycle escape hatch
+        persisted_out.append(sh)
     cand = (
         dedup.minhash_lsh_pairs(docs, N_MINHASH, LSH_BANDS, shingles=sh)
         .select("doc1", "doc2")
@@ -4758,7 +4764,8 @@ def q_image_phash_pairs(spark, sf_dir):
     blocking complete for Hamming ≤ 3, oracle = EXHAUSTIVE cross-pair
     truth. Fixture: smooth md5-seeded bilinear rasters; same-group docs
     differ by an unclamped brightness shift (pHash-invariant by
-    construction: only the excluded DC moves) plus a ±6 dipole whose
+    construction: only DC moves, and its bit is saturated at 1 on
+    non-negative rasters) plus a ±6 dipole whose
     low-block leakage exercises the threshold. See SCALE.md for the
     measured aHash/pHash brittleness comparison on these rasters."""
     from .operators import imagehash
