@@ -24,6 +24,7 @@ is the real DCT pipeline, not a lookup. Property-tested in
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -82,7 +83,18 @@ AC_LUMA_VALS = [
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length).
+    r7: memoized on the table spec — real streams (and the fixtures)
+    repeat the same DHT tables across images, and profiling showed the
+    per-image rebuild was ~30% of decode. Pure function; callers treat
+    the returned dict as read-only."""
+    return _build_codes_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=512)
+def _build_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -94,8 +106,19 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for MSB-first sequential decode."""
-    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+    """(length, code) -> symbol, for MSB-first sequential decode.
+    r7: memoized (see :func:`_build_codes`)."""
+    return _build_decode_table_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=512)
+def _build_decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _build_codes_cached(bits, vals).items()
+    }
 
 
 def _magnitude(v: int) -> tuple[int, int]:
