@@ -191,8 +191,28 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         sh = df_cut_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
     if candidates is not None:
-        c = candidates.select("doc1", "doc2")
+        # r7 LENGTH-RATIO PREFILTER (the classic size filter of the
+        # similarity-join literature): Jaccard ≤ min(n1,n2)/max(n1,n2),
+        # so J ≥ t requires min ≥ t·max — a candidate failing that can
+        # never verify and is dropped BEFORE the candidate × shingle
+        # expansion join (the measured 10× row amplification of the
+        # verify stage). The 1e-9 slack makes float rounding err on the
+        # over-keep side only; the closing jaccard filter is unchanged,
+        # so the output is provably identical.
+        c = (
+            candidates.select("doc1", "doc2")
+            .join(sa, "doc1")
+            .join(sb, "doc2")
+            .filter(
+                F.least("n1", "n2")
+                >= (F.lit(threshold) - F.lit(1e-9))
+                * F.greatest("n1", "n2")
+            )
+            .select("doc1", "doc2")
+        )
         s1 = sh.select(F.col(id_col).alias("doc1"), "shingle")
         s2 = sh.select(F.col(id_col).alias("doc2"), "shingle")
         common = (
@@ -214,8 +234,6 @@ def ngram_jaccard_pairs(
             .groupBy("doc1", "doc2")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
     return (
         common.join(sa, "doc1")
         .join(sb, "doc2")

@@ -108,15 +108,6 @@ def incremental_ingest(
     bc = dedup.band_buckets(sig_c, n_hashes, bands, id_col).withColumnRenamed(
         id_col, "cid"
     )
-    cand = bb.join(bc, ["band", "bucket"]).select("bid", "cid").distinct()
-    s1 = sh_b.select(F.col(id_col).alias("bid"), "shingle")
-    s2 = sh_c.select(F.col(id_col).alias("cid"), "shingle")
-    common = (
-        cand.join(s1, "bid")
-        .join(s2, ["cid", "shingle"])
-        .groupBy("bid", "cid")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     zb = (
         sh_b.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n1"))
@@ -124,6 +115,29 @@ def incremental_ingest(
     )
     zc = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n2")).withColumnRenamed(
         id_col, "cid"
+    )
+    # r7 length-ratio prefilter (same as ngram_jaccard_pairs): J ≥ t
+    # needs min(n1,n2) ≥ t·max(n1,n2); a candidate failing that can
+    # never verify, so it is dropped BEFORE the candidate × shingle
+    # expansion join (1e-9 slack = over-keep on float rounding only;
+    # the closing jaccard filter is unchanged → identical output).
+    cand = (
+        bb.join(bc, ["band", "bucket"]).select("bid", "cid").distinct()
+        .join(zb, "bid")
+        .join(zc, "cid")
+        .filter(
+            F.least("n1", "n2")
+            >= (F.lit(threshold) - F.lit(1e-9)) * F.greatest("n1", "n2")
+        )
+        .select("bid", "cid")
+    )
+    s1 = sh_b.select(F.col(id_col).alias("bid"), "shingle")
+    s2 = sh_c.select(F.col(id_col).alias("cid"), "shingle")
+    common = (
+        cand.join(s1, "bid")
+        .join(s2, ["cid", "shingle"])
+        .groupBy("bid", "cid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     near_ids = (
         common.join(zb, "bid")
