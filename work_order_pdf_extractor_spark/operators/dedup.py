@@ -211,15 +211,29 @@ def ngram_jaccard_pairs(
                 >= (F.lit(threshold) - F.lit(1e-9))
                 * F.greatest("n1", "n2")
             )
-            .select("doc1", "doc2")
         )
         s1 = sh.select(F.col(id_col).alias("doc1"), "shingle")
         s2 = sh.select(F.col(id_col).alias("doc2"), "shingle")
+        # n1/n2 are functionally determined by (doc1, doc2) — carrying
+        # them through the aggregation keys skips the tail's two size
+        # re-joins entirely
         common = (
             c.join(s1, "doc1")
             .join(s2, ["doc2", "shingle"])
-            .groupBy("doc1", "doc2")
+            .groupBy("doc1", "doc2", "n1", "n2")
             .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            common.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc1", "doc2", "jaccard")
         )
     else:
         # r7 (guide §2.4/2.5): the all-pairs branch used a shingle

@@ -129,20 +129,19 @@ def incremental_ingest(
             F.least("n1", "n2")
             >= (F.lit(threshold) - F.lit(1e-9)) * F.greatest("n1", "n2")
         )
-        .select("bid", "cid")
     )
     s1 = sh_b.select(F.col(id_col).alias("bid"), "shingle")
     s2 = sh_c.select(F.col(id_col).alias("cid"), "shingle")
+    # n1/n2 ride the aggregation keys (functionally determined by the
+    # pair), so the verify tail needs no size re-joins
     common = (
         cand.join(s1, "bid")
         .join(s2, ["cid", "shingle"])
-        .groupBy("bid", "cid")
+        .groupBy("bid", "cid", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     near_ids = (
-        common.join(zb, "bid")
-        .join(zc, "cid")
-        .filter(
+        common.filter(
             F.round(
                 F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
                 6,
