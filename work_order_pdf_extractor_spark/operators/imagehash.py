@@ -331,17 +331,28 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             "hamming",
         )
     )
+    # within-class chunk pairs generated ROW-LOCALLY from the class row
+    # (k = k1·nch + k2 index arithmetic — no chunk self-join; same trick
+    # as dedup._cooccurring_pairs)
+    nch = F.ceil(F.size("ids") / chunk).cast("int")
     wpairs = (
-        cls_ch.alias("a")
-        .join(
-            cls_ch.alias("b"),
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.k") <= F.col("b.k")),
+        cls.filter(F.size("ids") > 1)
+        .select(
+            "ids",
+            nch.alias("nch"),
+            F.explode(F.sequence(F.lit(0), nch * nch - 1)).alias("kk"),
         )
         .select(
-            F.col("a.k").alias("k1"),
-            F.col("b.k").alias("k2"),
-            F.col("a.sub").alias("sub1"),
-            F.col("b.sub").alias("sub2"),
+            "ids",
+            F.expr("kk div nch").cast("int").alias("k1"),
+            F.pmod(F.col("kk"), F.col("nch")).cast("int").alias("k2"),
+        )
+        .filter(F.col("k1") <= F.col("k2"))
+        .select(
+            F.col("k1"),
+            F.col("k2"),
+            F.slice("ids", F.col("k1") * chunk + 1, chunk).alias("sub1"),
+            F.slice("ids", F.col("k2") * chunk + 1, chunk).alias("sub2"),
         )
         .repartition(par)
     )
